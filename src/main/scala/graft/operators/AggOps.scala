@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.4 aggregation — the reference's per-block / per-day / summary
+  * rollups generalized (SURVEY §0 [PUBLIC]; empty checkout → no file:line).
+  *
+  * Scale notes: all aggregates here are hash aggregates with map-side
+  * partial aggregation (Spark's default 2-phase HashAggregate), so the
+  * shuffle carries one row per (partition × group), not per input row.
+  * Money sums go through DECIMAL(18,2) for cross-partition determinism
+  * (SURVEY §7.3.2); averages are emitted as round(decimal_sum::double /
+  * count, 6) — exact numerator, deterministic IEEE division.
+  */
+object AggOps {
+  private def groupedCube(s: SparkSession, d: String, mode: String) = {
+    val li = t(s, d, "lineitem")
+    val base = mode match {
+      case "rollup" => li.rollup(col("l_returnflag"), col("l_linestatus"))
+      case "cube"   => li.cube(col("l_returnflag"), col("l_linestatus"))
+      case _ => li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+    }
+    base.agg(
+      grouping(col("l_returnflag")).cast("int").as("g1"),
+      grouping(col("l_linestatus")).cast("int").as("g2"),
+      count(lit(1)).as("cnt"),
+      sumDec(col("l_quantity")).as("sum_qty"))
+      .select(col("g1"), col("g2"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("g1", "g2", "flag", "status")
+  }
+
+  private def cubeSql(grouping: String): String =
+    "SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g1, " +
+      "CAST(GROUPING(l_linestatus) AS INTEGER) AS g2, " +
+      "coalesce(l_returnflag, 'ALL') AS flag, " +
+      "coalesce(l_linestatus, 'ALL') AS status, " +
+      "count(*) AS cnt, " + oSumDec("l_quantity") + " AS sum_qty " +
+      s"FROM lineitem GROUP BY $grouping " +
+      "ORDER BY g1, g2, flag, status"
+
+  val queries: Map[String, QFn] = Map(
+    // TPC-H Q1 shape — the P1 minimum slice (SURVEY §7.2).
+    "agg_groupby" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .where(expr("l_shipdate < TIMESTAMP_NTZ'1998-09-01'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_price"),
+          min(dec2(col("l_extendedprice"))).as("min_price"),
+          max(dec2(col("l_extendedprice"))).as("max_price"))
+        .withColumn("avg_price",
+          round6(col("sum_price").cast("double") / col("cnt")))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_global" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        sumDec(col("l_extendedprice")).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_partkey")).as("dparts"))),
+
+    "agg_count_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(concat_ws("_", col("l_partkey"), col("l_suppkey")))
+            .as("d_ps"))
+        .orderBy("l_returnflag")),
+
+    "agg_filtered" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .agg(count(when(col("l_discount") > 0.05, lit(1))).as("cnt_disc"),
+          coalesce(sum(when(col("l_quantity") > 25,
+            dec2(col("l_extendedprice")))).cast(D18_2),
+            lit(0).cast(D18_2)).as("sum_hi"))
+        .orderBy("l_linestatus")),
+
+    "agg_rollup" -> ((s: SparkSession, d: String) => groupedCube(s, d, "rollup")),
+    "agg_cube" -> ((s: SparkSession, d: String) => groupedCube(s, d, "cube")),
+    "agg_grouping_sets" -> ((s: SparkSession, d: String) =>
+      groupedCube(s, d, "sets")),
+
+    "agg_collect_sorted" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            x => x.cast("string")), ",").as("lines"))
+        .orderBy("l_orderkey")),
+
+    // ⊘ no oracle: HLL sketch differs across engines; in-repo ±5% test.
+    "agg_approx_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_d"))
+        .orderBy("l_returnflag")))
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        oSumDec("l_quantity") + " AS sum_qty, " +
+        oSumDec("l_extendedprice") + " AS sum_price, " +
+        "min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price, " +
+        "max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price, " +
+        oRound6("CAST(" + oSumDec("l_extendedprice") +
+        " AS DOUBLE) / count(*)") + " AS avg_price " +
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "agg_global" ->
+      ("SELECT count(*) AS cnt, " + oSumDec("l_extendedprice") + " AS sum_price, " +
+        "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, " +
+        "count(DISTINCT l_partkey) AS dparts FROM lineitem"),
+    "agg_count_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS d_part, " +
+        "count(DISTINCT l_suppkey) AS d_supp, " +
+        "count(DISTINCT CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)) AS d_ps " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_filtered" ->
+      ("SELECT l_linestatus, count(*) FILTER (WHERE l_discount > 0.05) AS cnt_disc, " +
+        "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_quantity > 25) AS DECIMAL(18,2)), " +
+        "CAST(0 AS DECIMAL(18,2))) AS sum_hi " +
+        "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "agg_rollup" -> cubeSql("ROLLUP(l_returnflag, l_linestatus)"),
+    "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
+    "agg_grouping_sets" -> cubeSql(
+      "GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())"),
+    "agg_collect_sorted" ->
+      ("SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' " +
+        "ORDER BY l_linenumber) AS lines FROM lineitem " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey"))
+}

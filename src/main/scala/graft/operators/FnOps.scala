@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.7 scalar function families (string / date / math / array /
+  * json / map), one query per family, dialect-trap-aware (SURVEY §7.3.7):
+  * DuckDB length/year/datediff return BIGINT (Spark INT) → mirrored casts;
+  * DuckDB floor(double) stays DOUBLE (Spark → LONG) → CAST ... AS BIGINT;
+  * array arithmetic is cast to DOUBLE element-wise before the fixed-order
+  * sum so both engines do identical IEEE ops.
+  */
+object FnOps {
+  val queries: Map[String, QFn] = Map(
+    "fn_string" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).as("len"),
+        expr("replace(p_name, ' ', '_')").as("rep"),
+        lpad(col("p_brand"), 10, "0").as("pad"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("re"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trm"),
+        when(col("p_name").like("%red%"), 1).otherwise(0).as("likef"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("cat"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(to_date(lit("1998-01-01")),
+          col("o_orderdate").cast("date")).as("dd"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ep_us"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        round6(sqrt(col("l_quantity"))).as("sq"),
+        round6(pow(col("l_quantity"), 2)).as("pw"),
+        round6(log(col("l_extendedprice"))).as("ln1"),
+        round6(log10(col("l_extendedprice"))).as("lg"),
+        (col("l_orderkey") % 7).as("md"),
+        signum(col("l_discount") - 0.05).cast("int").as("sg"),
+        (floor(col("l_extendedprice") * 10 + lit(0.5)).cast("double") / 10)
+          .as("rnd"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s: SparkSession, d: String) =>
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n"),
+        element_at(col("embedding"), 1).as("first"),
+        array_min(col("embedding")).as("mn"),
+        element_at(array_sort(col("embedding")), 2).as("sorted2"),
+        round6(aggregate(
+          transform(slice(col("embedding"), 1, 3), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("s3sum"),
+        round6(aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("dot_self"))
+        .orderBy("vec_id")),
+
+    "fn_json" -> ((s: SparkSession, d: String) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          col("value"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("value")).as("sum_v"))
+        .orderBy("k_val")),
+
+    // Map build + explode; oracle sees the re-exploded sorted rows
+    // (SURVEY §2.7: MAP-typed parquet outputs are interop-fragile).
+    "fn_map" -> ((s: SparkSession, d: String) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
+        .orderBy("user_id", "event_type")))
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS lo, " +
+        "substr(p_name, 1, 5) AS sub, CAST(length(p_name) AS INTEGER) AS len, " +
+        "replace(p_name, ' ', '_') AS rep, lpad(p_brand, 10, '0') AS pad, " +
+        "string_split(p_name, ' ')[1] AS first_word, " +
+        "regexp_extract(p_name, '([a-z]+)', 1) AS re, " +
+        "trim('  ' || p_brand || '  ') AS trm, " +
+        "CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS likef, " +
+        "p_brand || ':' || p_type AS cat FROM part ORDER BY p_partkey"),
+    "fn_date" ->
+      ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, " +
+        "CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS mo, " +
+        "CAST(day(o_orderdate) AS INTEGER) AS dy, " +
+        "CAST(o_orderdate AS DATE) + 30 AS plus30, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS dd, " +
+        "epoch_us(o_orderdate) AS ep_us FROM orders ORDER BY o_orderkey"),
+    "fn_math" ->
+      ("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS ab, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS fl, " +
+        "CAST(ceil(l_extendedprice) AS BIGINT) AS ce, " +
+        oRound6("sqrt(l_quantity)") + " AS sq, " +
+        oRound6("pow(l_quantity, 2)") + " AS pw, " +
+        oRound6("ln(l_extendedprice)") + " AS ln1, " +
+        oRound6("log10(l_extendedprice)") + " AS lg, " +
+        "mod(l_orderkey, 7) AS md, " +
+        "CAST(sign(l_discount - 0.05) AS INTEGER) AS sg, " +
+        "floor(l_extendedprice * 10 + 0.5) / 10 AS rnd " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, " +
+        "embedding[1] AS first, list_min(embedding) AS mn, " +
+        "list_sort(embedding)[2] AS sorted2, " +
+        oRound6("CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + " +
+        "CAST(embedding[3] AS DOUBLE)") + " AS s3sum, " +
+        oRound6("list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))") +
+        " AS dot_self " +
+        "FROM embeddings ORDER BY vec_id"),
+    "fn_json" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, " +
+        "count(*) AS cnt, " + oSumDec("value") + " AS sum_v " +
+        "FROM events GROUP BY 1 ORDER BY k_val"),
+    "fn_map" ->
+      ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.3 joins — the category the reference exercises most (tx↔rates,
+  * tx↔block equi-joins; SURVEY §0 [PUBLIC], empty checkout → no file:line).
+  *
+  * Scale notes (100 TB): dimension sides (nation, region, part-derived
+  * thresholds, the as-of signup stream per user) stay under the broadcast
+  * threshold → BroadcastHashJoin, no shuffle of the fact side. The one
+  * deliberate SortMergeJoin is `join_hint_shuffle` (hint("merge")) to prove
+  * the shuffle path; on a cluster the same plan benefits from bucketing
+  * both sides on the join key. Non-equi joins (`join_theta_band`,
+  * `join_range`) keep one side broadcast-small so BroadcastNestedLoopJoin
+  * stays linear in the fact side. `join_asof` uses the windowed
+  * last-match-≤-ts formulation — a single shuffle on user_id, no self-join.
+  */
+object JoinOps {
+  private def innerEqui(s: SparkSession, d: String, merge: Boolean) = {
+    val c0 = t(s, d, "customer")
+    val c = if (merge) c0.hint("merge") else c0
+    val n0 = t(s, d, "nation")
+    val n = if (merge) n0.hint("merge") else n0
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("n_name"))
+  }
+
+  private val innerEquiSql =
+    "SELECT n_name, count(*) AS cnt FROM customer " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN orders ON o_custkey = c_custkey " +
+      "GROUP BY n_name ORDER BY cnt DESC, n_name"
+
+  val queries: Map[String, QFn] = Map(
+    "join_inner_equi" -> ((s: SparkSession, d: String) =>
+      innerEqui(s, d, merge = false)),
+
+    "join_hint_shuffle" -> ((s: SparkSession, d: String) =>
+      innerEqui(s, d, merge = true)),
+
+    "join_left_outer" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("cnt"),
+          coalesce(sumDec(col("o_totalprice")), lit(0).cast(D18_2))
+            .as("spent"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s: SparkSession, d: String) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sp = t(s, d, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("s_cnt"))
+      c.join(sp, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nk")
+    }),
+
+    "join_semi" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")),
+
+    "join_anti" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")),
+
+    "join_cross" -> ((s: SparkSession, d: String) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name")).orderBy("r_name", "n_name")),
+
+    "join_theta_band" -> ((s: SparkSession, d: String) => {
+      val p = t(s, d, "part")
+      val p1 = p.select(col("p_partkey").as("k1"), col("p_size").as("sz"))
+      val p2 = p.select(col("p_partkey").as("k2"), col("p_size").as("sz2"))
+      p1.join(p2, col("sz") === col("sz2") && col("k1") < col("k2"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("pair_cnt"))
+        .orderBy("sz")
+    }),
+
+    "join_range" -> ((s: SparkSession, d: String) => {
+      val bd9 = lit(new java.math.BigDecimal("0.9"))
+      val bd11 = lit(new java.math.BigDecimal("1.1"))
+      val thr = t(s, d, "part").groupBy(col("p_brand"))
+        .agg((dec2(min(col("p_retailprice"))) * bd9).as("lo"),
+          (dec2(min(col("p_retailprice"))) * bd11).as("hi"))
+      t(s, d, "lineitem")
+        .join(broadcast(thr), dec2(col("l_extendedprice")).between(col("lo"), col("hi")))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    "join_asof" -> ((s: SparkSession, d: String) => {
+      // Latest signup event at-or-before each event's ts for the same user:
+      // max over an ever-growing frame ≡ as-of join of the event stream
+      // against the signup sub-stream, with one shuffle on user_id.
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("signup_ts",
+          max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("signup_ts"), lit(-1L)).as("signup_ts"))
+        .orderBy("event_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" -> innerEquiSql,
+    "join_hint_shuffle" -> innerEquiSql,
+    "join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
+        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DECIMAL(18,2))) AS spent " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "join_full_outer" ->
+      ("WITH c AS (SELECT c_nationkey, count(*) AS c_cnt FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey, count(*) AS s_cnt FROM supplier GROUP BY 1) " +
+        "SELECT coalesce(c_nationkey, s_nationkey) AS nk, " +
+        "coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt " +
+        "FROM c FULL JOIN s ON c_nationkey = s_nationkey ORDER BY nk"),
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "join_cross" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_name, n_name"),
+    "join_theta_band" ->
+      ("SELECT p1.p_size AS sz, count(*) AS pair_cnt FROM part p1 " +
+        "JOIN part p2 ON p1.p_size = p2.p_size AND p1.p_partkey < p2.p_partkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "join_range" ->
+      ("WITH thr AS (SELECT p_brand, " +
+        "CAST(min(p_retailprice) AS DECIMAL(18,2)) * 0.9 AS lo, " +
+        "CAST(min(p_retailprice) AS DECIMAL(18,2)) * 1.1 AS hi " +
+        "FROM part GROUP BY p_brand) " +
+        "SELECT p_brand, count(*) AS cnt FROM lineitem JOIN thr " +
+        "ON CAST(l_extendedprice AS DECIMAL(18,2)) BETWEEN lo AND hi " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "join_asof" ->
+      ("SELECT event_id, user_id, ts_us, coalesce(signup_ts, -1) AS signup_ts " +
+        "FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts " +
+        "FROM events) ORDER BY event_id"))
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.1 scans + §2.2 projection / filter / scalar expressions.
+  * Reference-side shape: the datafeed's columnar scans and per-column
+  * projections (SURVEY §0 — reference checkout empty, no file:line
+  * citations possible; §2 rows R/C are the contract).
+  *
+  * Scale notes: every query here is a single-pass scan with filters and
+  * projections that Catalyst pushes into the parquet reader (PushedFilters
+  * / ReadSchema — asserted in PlanSpec). No shuffles except the final sort.
+  */
+object ScanProjOps {
+  val queries: Map[String, QFn] = Map(
+    "scan_parquet" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)),
+
+    "scan_parquet_nanos" -> ((s: SparkSession, d: String) =>
+      events(s, d).select(col("event_id"), col("ts_us")).orderBy("event_id")),
+
+    "scan_pruned" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"))
+        .where(expr("l_shipdate < TIMESTAMP_NTZ'1995-06-01'") &&
+          col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "project_select" -> ((s: SparkSession, d: String) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_u"),
+        dec2(col("c_acctbal")).as("bal"),
+        concat(col("c_mktsegment"), lit("-"),
+          col("c_nationkey").cast("string")).as("seg_nat"))
+        .orderBy("c_custkey")),
+
+    "filter_pred" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .where(((col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(10000, 150000)) ||
+          (col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderstatus") =!= "F")) &&
+          col("o_orderpriority").like("%-%") && col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    "expr_case" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part").select(
+        col("p_partkey"), col("p_size"),
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large").as("bucket"))
+        .orderBy("p_partkey")),
+
+    "expr_cast" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").cast("string").as("okey_s"),
+        col("l_orderkey").cast("double").as("okey_d"),
+        dec2(col("l_extendedprice")).as("price_dec"),
+        floor(col("l_quantity")).as("qty_l"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_shipdate").cast("date").cast("string").as("ship_s"),
+        col("l_orderkey").cast("string").cast("long").as("back_l"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "cond_null_funcs" -> ((s: SparkSession, d: String) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_acctbal"))
+        .agg(count(col("o_orderkey")).as("cnt"),
+          coalesce(sumDec(col("o_totalprice")), lit(0).cast(D18_2))
+            .as("spent"))
+        .select(col("c_custkey"), col("cnt"), col("spent"),
+          when(expr("nullif(cnt, 0)").isNull, 1).otherwise(0)
+            .as("empty_flag"),
+          greatest(dec2(col("c_acctbal")), col("spent")).as("hi"),
+          least(dec2(col("c_acctbal")), col("spent")).as("lo"))
+        .orderBy("c_custkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "scan_parquet_nanos" ->
+      "SELECT event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id",
+    "scan_pruned" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+        "WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 45 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "project_select" ->
+      ("SELECT c_custkey, upper(c_name) AS name_u, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)) AS bal, " +
+        "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nat " +
+        "FROM customer ORDER BY c_custkey"),
+    "filter_pred" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE ((o_orderstatus IN ('O','F') AND o_totalprice " +
+        "BETWEEN 10000 AND 150000) OR (o_orderpriority = '1-URGENT' AND " +
+        "o_orderstatus <> 'F')) AND o_orderpriority LIKE '%-%' AND " +
+        "o_custkey IS NOT NULL ORDER BY o_orderkey"),
+    "expr_case" ->
+      ("SELECT p_partkey, p_size, CASE WHEN p_size < 10 THEN 'small' " +
+        "WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS bucket " +
+        "FROM part ORDER BY p_partkey"),
+    "expr_cast" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_orderkey AS VARCHAR) AS okey_s, " +
+        "CAST(l_orderkey AS DOUBLE) AS okey_d, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS qty_l, " +
+        "CAST(l_shipdate AS DATE) AS ship_date, " +
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s, " +
+        "CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS back_l " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "cond_null_funcs" ->
+      ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
+        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DECIMAL(18,2))) AS spent, " +
+        "CASE WHEN nullif(count(o_orderkey), 0) IS NULL THEN 1 ELSE 0 END AS empty_flag, " +
+        "CAST(greatest(CAST(c_acctbal AS DECIMAL(18,2)), coalesce(" + oSumDec("o_totalprice") +
+        ", CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS hi, " +
+        "CAST(least(CAST(c_acctbal AS DECIMAL(18,2)), coalesce(" + oSumDec("o_totalprice") +
+        ", CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS lo " +
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_acctbal ORDER BY c_custkey"))
+}

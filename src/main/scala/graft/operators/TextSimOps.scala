@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.8 LLM-data-pipeline operators (driver north star): text
+  * analysis, exact + approximate dedup, similarity search, multimodal join.
+  *
+  * Scale notes (100 TB):
+  *  - `text_tokenize`/`text_stats`: explode + 2-phase hash agg; the shuffle
+  *    carries (word, partial_count) — vocabulary-sized, not corpus-sized.
+  *  - `dedup_exact`: groupBy(hash).agg(min) — deterministic keyed reduce,
+  *    never dropDuplicates (partition-order dependent, SURVEY §7.3.5).
+  *  - `sim_jaccard_pairs`: exact Jaccard. The corpus vocabulary is tiny
+  *    (31 words, measured), so the classic token-inverted-index self-join
+  *    degenerates to Σ df(w)² ≈ all-pairs × vocab rows (~460M at sf0.1).
+  *    Instead each doc's token set is encoded as a 64-bit BITMASK (token
+  *    ids assigned once over the global vocabulary) and Jaccard becomes
+  *    bit_count(a&b)/bit_count(a|b) — a broadcast nested-loop over masks
+  *    with a length-ratio band prefilter (sound: J≥τ ⇒ τ·|B|≤|A|≤|B|/τ).
+  *    For vocabularies >64 the scale path is `dedup_minhash` (banded LSH);
+  *    this operator asserts the ≤64 precondition at runtime.
+  *  - `knn_cosine`: 1×N broadcast of the query vector — never N×N.
+  *    Dot products cast each float to double THEN multiply/sum in fixed
+  *    array-index order so Spark and DuckDB do identical IEEE arithmetic.
+  *  - `dedup_minhash`: MLlib MinHashLSH (banded, seeded) — the real
+  *    at-scale near-dup path; approximate ⇒ no oracle (in-repo recall
+  *    test vs the exact Jaccard ground truth instead).
+  */
+object TextSimOps {
+  /** τ as integer percent — threshold compares stay in exact int space. */
+  private val TauPct = 90
+
+  /** Fixed-order double dot product of two float array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def oDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** (doc_id, token-set bitmask, token count) — one row per document. */
+  private def docMasks(s: SparkSession, d: String): DataFrame = {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val vocab = tok.select(col("w")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("w")) - 1)
+    tok.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(shiftleft(cast(1 as bigint), id))").as("mask"),
+        count(lit(1)).cast("int").as("c"),
+        max(col("id")).as("max_id"))
+      .withColumn("mask",
+        when(col("max_id") > 62, raise_error(lit(
+          "sim_jaccard_pairs: vocabulary exceeds 64 tokens; " +
+            "use dedup_minhash (LSH) at this scale")))
+          .otherwise(col("mask")))
+      .drop("max_id")
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "text_tokenize" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)),
+
+    "text_stats" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_words"))
+        .select(col("lang"), col("cnt"),
+          round6(col("sum_chars").cast("double") / col("cnt"))
+            .as("avg_chars"),
+          round6(col("sum_words").cast("double") / col("cnt"))
+            .as("avg_words"))
+        .orderBy("lang")),
+
+    "dedup_exact" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("cnt"))
+        .orderBy("h")),
+
+    "sim_jaccard_pairs" -> ((s: SparkSession, d: String) => {
+      val m = docMasks(s, d)
+      val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
+        col("c").as("ca"))
+      val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
+        col("c").as("cb"))
+      a.join(broadcast(b),
+        col("da") < col("db") &&
+          lit(100) * col("ca") >= lit(TauPct) * col("cb") &&
+          lit(100) * col("cb") >= lit(TauPct) * col("ca"))
+        .withColumn("inter", expr("bit_count(ma & mb)"))
+        .withColumn("uni", expr("bit_count(ma | mb)"))
+        .where(lit(100) * col("inter") >= lit(TauPct) * col("uni"))
+        .select(col("da"), col("db"), col("inter"), col("uni"))
+        .orderBy("da", "db")
+    }),
+
+    "knn_cosine" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round6(dot(col("embedding"), col("qe"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }),
+
+    "knn_per_label" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val e1 = emb.select(col("label"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      val e2 = emb.select(col("label").as("lb"), col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      val pairs = e1.join(e2, col("label") === col("lb") && col("a") < col("b"))
+        .select(col("label"), col("a"), col("b"),
+          round6(dot(col("ea"), col("eb"))).as("cos"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos").desc, col("a"), col("b"))
+      pairs.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("label"), col("a"), col("b"), col("cos"))
+        .orderBy(col("label"), col("cos").desc, col("a"), col("b"))
+    }),
+
+    "multimodal_join" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .rollup(col("label"), col("lang"))
+        .agg(grouping(col("label")).cast("int").as("g1"),
+          grouping(col("lang")).cast("int").as("g2"),
+          count(lit(1)).as("cnt"))
+        .select(col("g1"), col("g2"),
+          coalesce(col("label").cast("string"), lit("ALL")).as("label_c"),
+          coalesce(col("lang"), lit("ALL")).as("lang_c"), col("cnt"))
+        .orderBy("g1", "g2", "label_c", "lang_c")),
+
+    // ⊘ approximate — no oracle; recall tested in-repo vs exact Jaccard.
+    "dedup_minhash" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 12)
+      val feat = tf.transform(docs)
+      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = mh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.25, "dist")
+        .select(col("datasetA.doc_id").as("da"),
+          col("datasetB.doc_id").as("db"), round6(col("dist")).as("dist"))
+        .where(col("da") < col("db"))
+        .orderBy("da", "db")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "text_tokenize" ->
+      ("SELECT w, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) GROUP BY w ORDER BY cnt DESC, w LIMIT 100"),
+    "text_stats" ->
+      ("SELECT lang, count(*) AS cnt, " +
+        oRound6("CAST(sum(n_chars) AS DOUBLE) / count(*)") + " AS avg_chars, " +
+        oRound6("CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)") +
+        " AS avg_words FROM documents GROUP BY lang ORDER BY lang"),
+    "dedup_exact" ->
+      ("SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_doc, " +
+        "count(*) AS cnt FROM documents GROUP BY 1 ORDER BY h"),
+    "sim_jaccard_pairs" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, CAST(inter AS INTEGER) AS inter, " +
+        "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
+        "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    "knn_cosine" ->
+      ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT e.vec_id, " + oRound6(oDot("e.embedding", "qe")) + " AS cos " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY cos DESC, vec_id LIMIT 10"),
+    "knn_per_label" ->
+      ("WITH p AS (SELECT e1.label, e1.vec_id AS a, e2.vec_id AS b, " +
+        oRound6(oDot("e1.embedding", "e2.embedding")) + " AS cos " +
+        "FROM embeddings e1 JOIN embeddings e2 " +
+        "ON e1.label = e2.label AND e1.vec_id < e2.vec_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY label " +
+        "ORDER BY cos DESC, a, b) AS rn FROM p) " +
+        "SELECT label, a, b, cos FROM r WHERE rn <= 3 " +
+        "ORDER BY label, cos DESC, a, b"),
+    "multimodal_join" ->
+      ("SELECT CAST(GROUPING(label) AS INTEGER) AS g1, " +
+        "CAST(GROUPING(lang) AS INTEGER) AS g2, " +
+        "coalesce(CAST(label AS VARCHAR), 'ALL') AS label_c, " +
+        "coalesce(lang, 'ALL') AS lang_c, count(*) AS cnt " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id " +
+        "GROUP BY ROLLUP(label, lang) ORDER BY g1, g2, label_c, lang_c"))
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY §2.5 window functions.
+  *
+  * Scale notes: each query shuffles once on its partition key
+  * (o_custkey / o_orderstatus / user_id) and sorts within partitions —
+  * the canonical Spark window plan. Every ORDER BY inside an OVER clause
+  * is tie-broken to a unique key so rank/frame contents are deterministic
+  * (SURVEY §7.3.3/.5).
+  */
+object WindowOps {
+  val queries: Map[String, QFn] = Map(
+    "win_rank" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_topk_group" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_running" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w7 = w.rowsBetween(-6, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(wAll).as("run_cnt"),
+          sum(dec2(col("o_totalprice"))).over(wAll).cast(D18_2).as("run_sum"),
+          round6(sum(dec2(col("o_totalprice"))).over(w7).cast("double") /
+            count(lit(1)).over(w7)).as("mov7"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_range_frame" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-5000, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("cnt_near"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(D18_2).as("sum_near"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_lead_lag" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("ts_us") - lag("ts_us", 1).over(w), lit(-1L))
+            .as("delta_us"),
+          coalesce(lead("event_type", 1).over(w), lit("")).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    "win_dist" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("nt"),
+          round6(percent_rank().over(w)).as("pr"),
+          round6(cume_dist().over(w)).as("cd"),
+          first(col("o_orderkey")).over(w).as("fv"),
+          last(col("o_orderkey")).over(wFull).as("lv"))
+        .orderBy("o_orderkey")
+    }))
+
+  private val rankOver =
+    "OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      (s"SELECT o_orderkey, o_custkey, row_number() $rankOver AS rn, " +
+        s"rank() $rankOver AS rk, dense_rank() $rankOver AS drk " +
+        "FROM orders ORDER BY o_orderkey"),
+    "win_topk_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        s"(SELECT *, row_number() $rankOver AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "count(*) OVER w AS run_cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS run_sum, " +
+        oRound6("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w7 AS DOUBLE) " +
+        "/ count(*) OVER w7") + " AS mov7 " +
+        "FROM orders WINDOW " +
+        "w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "win_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, count(*) OVER w AS cnt_near, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_near " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
+        "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "win_lead_lag" ->
+      ("SELECT event_id, user_id, " +
+        "coalesce(ts_us - lag(ts_us) OVER w, -1) AS delta_us, " +
+        "coalesce(lead(event_type) OVER w, '') AS next_type " +
+        "FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+        "ORDER BY event_id"),
+    "win_dist" ->
+      ("SELECT o_orderkey, o_orderstatus, ntile(4) OVER w AS nt, " +
+        oRound6("percent_rank() OVER w") + " AS pr, " +
+        oRound6("cume_dist() OVER w") + " AS cd, " +
+        "first_value(o_orderkey) OVER w AS fv, " +
+        "last_value(o_orderkey) OVER (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey) " +
+        "ORDER BY o_orderkey"))
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local pre-flight of the driver's DuckDB oracle compare (t2).
+
+Reads the Verify output dir (per-query parquet + oracle_sql.json),
+registers the sf tables as DuckDB views, runs each oracle SQL, and
+compares row-by-row with columns sorted by name — the strictest
+interpretation of the driver's "sorts columns by name before hashing
+values" contract (exact value AND dtype-category equality).
+"""
+import json, sys, math
+from decimal import Decimal
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)
+
+fails, passes = [], 0
+for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
+    try:
+        want = con.execute(sql).fetch_arrow_table()
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')"
+        ).fetch_arrow_table()
+    except Exception as e:
+        fails.append((name, f"load/exec error: {e}"))
+        continue
+    wcols, gcols = sorted(want.column_names), sorted(got.column_names)
+    if wcols != gcols:
+        fails.append((name, f"schema: oracle {wcols} vs spark {gcols}"))
+        continue
+    if want.num_rows != got.num_rows:
+        fails.append((name, f"rows: oracle {want.num_rows} vs spark {got.num_rows}"))
+        continue
+    wp = want.select(wcols).to_pylist()
+    gp = got.select(gcols).to_pylist()
+    bad = None
+    for i, (wr, gr) in enumerate(zip(wp, gp)):
+        for c in wcols:
+            if canon(wr[c]) != canon(gr[c]):
+                bad = (i, c, wr[c], gr[c], type(wr[c]).__name__,
+                       type(gr[c]).__name__)
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, f"value row {bad[0]} col {bad[1]}: "
+                            f"oracle={bad[2]!r}({bad[4]}) spark={bad[3]!r}({bad[5]})"))
+    else:
+        passes += 1
+
+print(f"\nPASS {passes}/{passes + len(fails)}")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+sys.exit(1 if fails else 0)
