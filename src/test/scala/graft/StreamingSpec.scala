@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY §5.5 / §2.9 ⊘ rows: the real Structured Streaming path —
+  * chronological file-chunk replay of events with maxFilesPerTrigger=1 —
+  * asserting (a) streaming dropDuplicates matches batch dedup semantics,
+  * (b) a brand-new row older than the watermark is DROPPED (late-data
+  * semantics of `stream_late_data`), while a fresh row is kept,
+  * (c) append-mode tumbling windows emit exactly the batch counts.
+  */
+class StreamingSpec extends SparkTestBase {
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_stream_").toString
+
+  /** Writes events (ordered by ts) into two chronological halves plus —
+    * when `withLate` — a third chunk holding one very-late new row and one
+    * fresh row, with strictly increasing file mtimes so the file source
+    * replays in order. Returns (dir, lateId, freshId, baseCount). */
+  private def stageChunks(withLate: Boolean = true): (String, Long, Long, Long) = {
+    val dir = freshDir()
+    val ev = graft.Tables.events(spark, sf).orderBy("ts_us")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val rows = ev.collect()
+    val n = rows.length
+    val (h1, h2) = rows.splitAt(n / 2)
+    val minTs = rows.head.getLong(1)
+    val maxTs = rows.last.getLong(1)
+    val lateId = 9000001L
+    val freshId = 9000002L
+    val ss = spark
+    import ss.implicits._
+    def writeChunk(rs: Seq[(Long, Long, Long, String, Double)], i: Int): Unit = {
+      val f = new java.io.File(dir, s"chunk$i")
+      rs.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(f.toString)
+      val ts = System.currentTimeMillis() - 60000 + i * 2000L
+      f.listFiles().foreach(_.setLastModified(ts))
+      f.setLastModified(ts)
+    }
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))
+    writeChunk(h1.map(tup).toSeq, 1)
+    writeChunk(h2.map(tup).toSeq, 2)
+    if (withLate)
+      writeChunk(Seq((lateId, minTs, 1L, "late", 0.0),
+        (freshId, maxTs + 60L * 1000000L, 1L, "fresh", 0.0)), 3)
+    (dir, lateId, freshId, n.toLong)
+  }
+
+  test("streaming dropDuplicates+watermark drops late rows, keeps fresh") {
+    val (dir, lateId, freshId, n) = stageChunks()
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(lateId), "late row survived the watermark")
+    assert(ids.contains(freshId), "fresh row was dropped")
+    assert(ids.size == n + 1, s"expected ${n + 1} rows, got ${ids.size}")
+  }
+
+  test("streaming tumbling windows equal batch counts (append mode)") {
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", "10 minutes")
+      .groupBy(window(col("tstamp"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy((col("ts_us") - (col("ts_us") % (3600L * 1000000L))).as("ws_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "append mode emitted no finalized windows")
+    streamed.foreach { case (ws, cnt) =>
+      assert(batch.get(ws).contains(cnt),
+        s"window $ws: streamed $cnt vs batch ${batch.get(ws)}")
+    }
+  }
+}
