@@ -14,8 +14,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $dt%8.2fs rows=$n")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

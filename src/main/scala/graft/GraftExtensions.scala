@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProductF32
+
+/** Session extension installing the library's native SQL functions
+  * (`spark.sql.extensions=graft.GraftExtensions`, or call [[install]] on
+  * a live session). Currently: `dot_f32(array<float>, array<float>)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotF32)
+  }
+}
+
+object GraftExtensions {
+  val dotF32: (FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        DotProductF32) =
+    (FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      exprs => DotProductF32(exprs.head, exprs(1)))
+
+  /** Registers dot_f32 on an already-running session. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      dotF32._1, dotF32._2, dotF32._3)
+}
