@@ -18,7 +18,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanProjOps.queries ++ JoinOps.queries ++ AggOps.queries ++
       WindowOps.queries ++ SortSetOps.queries ++ FnOps.queries ++
-      TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries
+      TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries ++
+      MultimodalOps.queries ++ TextAnalysisOps.queries ++
+      SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -27,5 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ScanProjOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
       WindowOps.oracle ++ SortSetOps.oracle ++ FnOps.oracle ++
-      TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle
+      TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle ++
+      MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
+      SimilarityOps.oracle
 }

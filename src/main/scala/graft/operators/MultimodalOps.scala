@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Multimodal-column plumbing (driver north star): opaque `binary` blobs +
+  * a typed metadata struct, processed by a per-partition decode stage.
+  *
+  * The real decode/feature-extract/resize/frame-sample kernels for
+  * image/audio/video need native libraries that are NOT in this container
+  * (SURVEY §0 env table), so the kernel here is a deterministic stand-in
+  * (leading-byte checksum) — but every piece of Spark plumbing around it
+  * is real and oracle-verified: the binary encode, the metadata struct,
+  * the `mapPartitions` batch iteration with an explicit output row
+  * encoder (the Scala analog of mapInPandas: schema declared up front,
+  * batches streamed per partition, no driver collection), and the
+  * downstream ordering. Swapping the checksum for a JNI image decoder
+  * changes one function body, not the pipeline.
+  *
+  * Scale notes: mapPartitions preserves partitioning (no shuffle); at
+  * 100 TB the blobs column stays off the shuffle path entirely — only
+  * the extracted features (a few scalars per row) flow onward.
+  */
+object MultimodalOps {
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("head_sum", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  val queries: Map[String, QFn] = Map(
+    "mm_binary_stats" -> ((s: SparkSession, d: String) => {
+      val bin = t(s, d, "documents").select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("blob"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+      val decoded = bin.mapPartitions { it =>
+        it.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          // --- decode kernel stub: real image/audio decode goes here ---
+          var sum = 0L
+          var i = 0
+          val n = math.min(8, blob.length)
+          while (i < n) { sum += blob(i) & 0xff; i += 1 }
+          // -------------------------------------------------------------
+          Row(r.getLong(0), blob.length, sum, meta.getString(0))
+        }
+      }(Encoders.row(outSchema))
+      decoded.orderBy("doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_stats" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
+        "CAST(" + (1 to 8).map(i => s"ord(substr(text, $i, 1))").mkString(" + ") +
+        " AS BIGINT) AS head_sum, lang FROM documents ORDER BY doc_id"))
+}

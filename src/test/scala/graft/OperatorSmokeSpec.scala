@@ -7,7 +7,7 @@ class OperatorSmokeSpec extends SparkTestBase {
   // late-data replays, near-dup pairs under a high τ on a tiny corpus).
   private val mayBeEmpty = Set("join_anti", "stream_late_data",
     "sim_jaccard_pairs", "dedup_minhash", "scan_pruned", "join_range",
-    "set_except")
+    "set_except", "knn_ann_srp", "dedup_embed")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
