@@ -56,7 +56,7 @@ object FnOps {
         signum(col("l_discount") - 0.05).cast("int").as("sg"),
         (floor(col("l_extendedprice") * 10 + lit(0.5)).cast("double") / 10)
           .as("rnd"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "fl", "sq", "ab")),
 
     "fn_array" -> ((s: SparkSession, d: String) =>
       t(s, d, "embeddings").select(
@@ -124,7 +124,7 @@ object FnOps {
         "mod(l_orderkey, 7) AS md, " +
         "CAST(sign(l_discount - 0.05) AS INTEGER) AS sg, " +
         "floor(l_extendedprice * 10 + 0.5) / 10 AS rnd " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, fl, sq, ab"),
     "fn_array" ->
       ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n, " +
         "embedding[1] AS first, list_min(embedding) AS mn, " +

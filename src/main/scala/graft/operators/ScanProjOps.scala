@@ -15,9 +15,14 @@ import graft.Tables._
   */
 object ScanProjOps {
   val queries: Map[String, QFn] = Map(
-    "scan_parquet" -> ((s: SparkSession, d: String) =>
-      t(s, d, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)),
+    // NOTE (measured): (l_orderkey, l_linenumber) is NOT unique in the
+    // corpus and duplicate-key rows differ in content — every ORDER BY
+    // here therefore covers ALL output columns, so remaining ties are
+    // full-row duplicates (interchangeable under any hash compare).
+    "scan_parquet" -> ((s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+      li.orderBy(li.columns.map(col).toIndexedSeq: _*).limit(100)
+    }),
 
     "scan_parquet_nanos" -> ((s: SparkSession, d: String) =>
       events(s, d).select(col("event_id"), col("ts_us")).orderBy("event_id")),
@@ -28,7 +33,7 @@ object ScanProjOps {
           col("l_shipdate"))
         .where(expr("l_shipdate < TIMESTAMP_NTZ'1995-06-01'") &&
           col("l_quantity") > 45)
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
 
     "project_select" -> ((s: SparkSession, d: String) =>
       t(s, d, "customer").select(
@@ -68,7 +73,8 @@ object ScanProjOps {
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_shipdate").cast("date").cast("string").as("ship_s"),
         col("l_orderkey").cast("string").cast("long").as("back_l"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "price_dec", "qty_l",
+          "ship_date")),
 
     "cond_null_funcs" -> ((s: SparkSession, d: String) => {
       val c = t(s, d, "customer")
@@ -88,13 +94,13 @@ object ScanProjOps {
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      "SELECT * FROM lineitem ORDER BY ALL LIMIT 100",
     "scan_parquet_nanos" ->
       "SELECT event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id",
     "scan_pruned" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
         "WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 45 " +
-        "ORDER BY l_orderkey, l_linenumber"),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"),
     "project_select" ->
       ("SELECT c_custkey, upper(c_name) AS name_u, " +
         "CAST(c_acctbal AS DECIMAL(18,2)) AS bal, " +
@@ -119,7 +125,8 @@ object ScanProjOps {
         "CAST(l_shipdate AS DATE) AS ship_date, " +
         "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s, " +
         "CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS back_l " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, price_dec, qty_l, " +
+        "ship_date"),
     "cond_null_funcs" ->
       ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
         "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DECIMAL(18,2))) AS spent, " +

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format batch source surface: parquet (primary), csv, json, orc —
+  * all schema-explicit (inference is never used, SURVEY §1.3). Exercised
+  * end-to-end by SourceSinkSpec round-trips. (No avro: the spark-avro
+  * DATASOURCE jar is absent from /opt/spark/jars — only avro core libs
+  * ship — so `format("avro")` fails to resolve; SURVEY §0's env table
+  * overstated this. The case arm stays as the extension point.)
+  */
+object Sources {
+  def read(spark: SparkSession, format: String, path: String,
+      schema: StructType): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = spark.read.schema(schema)
+    format match {
+      case "csv" => r.option("header", "true").csv(path)
+      case "json" => r.json(path)
+      case "orc" => r.orc(path)
+      case _ => r.parquet(path)
+    }
+  }
+
+  def write(df: DataFrame, format: String, path: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case "orc" => w.orc(path)
+      case _ => w.parquet(path)
+    }
+  }
+}
+
+/** Batch sink abstraction — the reference's role was ingestion into a
+  * keyed store (Cassandra raw keyspace: block / transaction /
+  * exchange_rates, idempotent by partition key; SURVEY §0 [PUBLIC] — the
+  * checkout is empty, no file:line exists). The spark-cassandra-connector
+  * jar is not available offline (SURVEY env table), so the store-specific
+  * member of this family cannot be built here; the trait fixes the
+  * surface it would implement, and [[KeyedUpsertSink]] provides the
+  * idempotence semantics store-independently.
+  */
+trait Sink {
+  def write(df: DataFrame, table: String): Unit
+}
+
+/** Plain parquet-directory sink (what Verify uses per query). */
+final class ParquetSink(root: String) extends Sink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$table")
+}
+
+/** Cluster-scale layout: partition by low-cardinality columns (e.g. a
+  * date bucket) so downstream readers partition-prune; at 100 TB this —
+  * not file count — is what makes per-day queries cheap. */
+final class PartitionedParquetSink(root: String, partitionCols: Seq[String])
+  extends Sink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(s"$root/$table")
+}
+
+/** Idempotent keyed upsert semantics (the reference's Cassandra write
+  * discipline): within a batch, exactly one row per key survives —
+  * deterministically the one with the highest `versionCol` (ties broken
+  * by the key itself via the total window order), never "whichever
+  * partition wrote last". Wrap any store-specific [[Sink]] with this to
+  * make re-ingestion runs idempotent.
+  */
+final class KeyedUpsertSink(delegate: Sink, keyCols: Seq[String],
+    versionCol: String) extends Sink {
+  override def write(df: DataFrame, table: String): Unit = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(versionCol).desc +: keyCols.map(col)): _*)
+    val deduped = df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    delegate.write(deduped, table)
+  }
+}

