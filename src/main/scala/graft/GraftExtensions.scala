@@ -12,6 +12,7 @@ import graft.functions.DotProductF32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotF32)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }
 
@@ -27,4 +28,12 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       dotF32._1, dotF32._2, dotF32._3)
+
+  /** Adds the declarative→codegen rewrite rules to a live session
+    * (extensions configured at session build do this automatically). */
+  def installOptimizations(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
 }

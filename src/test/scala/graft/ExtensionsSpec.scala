@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: injected SQL function and the
+  * declarative→codegen optimizer rewrite. */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("dot_f32 SQL function registers and evaluates") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT dot_f32(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").collect()
+    assert(r(0).getDouble(0) == 11.0)
+  }
+
+  test("DotProductRewrite turns aggregate(zip_with(...)) into DotProductF32") {
+    GraftExtensions.installOptimizations(spark)
+    val df = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("dot"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_f32"),
+      s"rewrite did not fire; optimized plan:\n$optimized")
+    // identical values to the un-rewritten interpreted form (L2-normalized
+    // vectors: self-dot ≈ 1)
+    val vals = df.orderBy("vec_id").limit(5).collect().map(_.getDouble(1))
+    vals.foreach(v => assert(math.abs(v - 1.0) < 1e-3, s"self-dot $v"))
+  }
+
+  test("rewrite leaves non-matching aggregates alone") {
+    GraftExtensions.installOptimizations(spark)
+    val df = graft.Tables.t(spark, sf, "embeddings")
+      .select(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (a, b) => a.cast("double") + b.cast("double")), // + not *
+        lit(0.0), (acc, x) => acc + x).as("s"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("dot_f32"))
+    assert(df.collect().length == 500)
+  }
+}
