@@ -110,6 +110,38 @@ object TextSimOps {
         .orderBy("da", "db")
     }),
 
+    // n-gram (character 5-gram shingle) Jaccard: exact, over candidates
+    // from the word-level bitmask filter at τ₁=95% — the shingle
+    // vocabulary exceeds 64 so the bitmask trick can't apply to the
+    // shingles themselves; bounding the pair set by the (sound, cheaper)
+    // word-level band keeps the per-pair array intersection affordable.
+    "sim_ngram_jaccard" -> ((s: SparkSession, d: String) => {
+      val m = docMasks(s, d)
+      val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
+        col("c").as("ca"))
+      val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
+        col("c").as("cb"))
+      val cand = a.join(broadcast(b),
+        col("da") < col("db") &&
+          lit(100) * col("ca") >= lit(95) * col("cb") &&
+          lit(100) * col("cb") >= lit(95) * col("ca"))
+        .where(lit(100) * expr("bit_count(ma & mb)") >=
+          lit(95) * expr("bit_count(ma | mb)"))
+        .select(col("da"), col("db"))
+      val grams = t(s, d, "documents").select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+          .as("ng"))
+      cand
+        .join(grams.select(col("doc_id").as("da"), col("ng").as("ga")), "da")
+        .join(grams.select(col("doc_id").as("db"), col("ng").as("gb")), "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("ga"), col("gb"))).as("ng_inter"),
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb")))).as("ng_uni"))
+        .orderBy("da", "db")
+    }),
+
     "knn_cosine" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
@@ -229,6 +261,25 @@ object TextSimOps {
         "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
         "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    "sim_ngram_jaccard" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "cand AS (SELECT da, db FROM ip JOIN cnt ca ON da = ca.doc_id " +
+        "JOIN cnt cb ON db = cb.doc_id " +
+        "WHERE 100 * ca.c >= 95 * cb.c AND 100 * cb.c >= 95 * ca.c " +
+        "AND 100 * inter >= 95 * (ca.c + cb.c - inter)), " +
+        "g AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(1, length(text) - 3), i -> substr(text, i, 5))) AS ng " +
+        "FROM documents) " +
+        "SELECT da, db, " +
+        "CAST(len(list_intersect(ga.ng, gb.ng)) AS INTEGER) AS ng_inter, " +
+        "CAST(len(ga.ng) + len(gb.ng) - len(list_intersect(ga.ng, gb.ng)) " +
+        "AS INTEGER) AS ng_uni " +
+        "FROM cand JOIN g ga ON da = ga.doc_id JOIN g gb ON db = gb.doc_id " +
+        "ORDER BY da, db"),
     "knn_cosine" ->
       ("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
         "SELECT e.vec_id, " + oRound6(oDot("e.embedding", "qe")) + " AS cos " +

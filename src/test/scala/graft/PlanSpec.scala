@@ -46,4 +46,26 @@ class PlanSpec extends SparkTestBase {
   test("scan_parquet orderBy+limit collapses to TakeOrderedAndProject") {
     assert(plan("scan_parquet").contains("TakeOrderedAndProject"))
   }
+
+  test("dedup_minhash candidate join is broadcast (no candidate shuffle)") {
+    val p = plan("dedup_minhash")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in:\n$p")
+  }
+
+  test("text_langid broadcasts the language profile") {
+    assert(plan("text_langid").contains("BroadcastHashJoin"))
+  }
+
+  test("text_tokenize aggregates partially before the shuffle") {
+    val p = plan("text_tokenize")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("window_session shuffles once on user_id before both window passes") {
+    val p = plan("window_session")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    // one hashpartitioning(user_id) + the final range sort — no more
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
 }
