@@ -55,6 +55,13 @@ final class ParquetSink(root: String) extends Sink {
     df.write.mode(SaveMode.Overwrite).parquet(s"$root/$table")
 }
 
+/** Append-mode parquet sink — the per-micro-batch target for streaming
+  * ingestion (each foreachBatch call lands one batch). */
+final class ParquetAppendSink(root: String) extends Sink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$root/$table")
+}
+
 /** Cluster-scale layout: partition by low-cardinality columns (e.g. a
   * date bucket) so downstream readers partition-prune; at 100 TB this —
   * not file count — is what makes per-day queries cheap. */

@@ -69,6 +69,22 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.size == n + 1, s"expected ${n + 1} rows, got ${ids.size}")
   }
 
+  test("IngestPipeline lands the deduped, late-dropped feed in the sink") {
+    val (dir, lateId, freshId, n) = stageChunks()
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val sinkRoot = freshDir()
+    val q = graft.streaming.IngestPipeline.start(
+      graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema),
+      new graft.sources.ParquetAppendSink(sinkRoot), "events_raw",
+      s"${freshDir()}/ckpt")
+    q.awaitTermination(120000)
+    val ids = spark.read.parquet(s"$sinkRoot/events_raw")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(lateId), "late row reached the sink")
+    assert(ids.contains(freshId), "fresh row missing from the sink")
+    assert(ids.size == n + 1)
+  }
+
   test("streaming tumbling windows equal batch counts (append mode)") {
     val (dir, _, _, _) = stageChunks(withLate = false)
     val schema = spark.read.parquet(s"$dir/chunk1").schema
