@@ -31,6 +31,18 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
 
+  val AllTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Registers every corpus table as a temp view (events with `ts_us`
+    * pre-normalized) so the whole surface is reachable via spark.sql. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    AllTables.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else t(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   val D18_2: DecimalType = DecimalType(18, 2)
 
   /** Money column → DECIMAL(18,2) (SURVEY §7.3.2: double sums are
