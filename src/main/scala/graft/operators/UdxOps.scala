@@ -37,7 +37,46 @@ object UdxOps {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Bounded top-k per group (k=3, order: price desc then okey asc) as a
+    * typed Aggregator: the buffer never exceeds k entries, so the partial
+    * (map-side) aggregation ships at most k rows per group per partition —
+    * the scalable formulation of "top-3 orders per customer". The window
+    * `row_number <= 3` form (win_topk_group) sorts EVERY row of a
+    * partition; this one is O(n log k) with a k-bounded shuffle. Same
+    * result, same oracle SQL.
+    */
+  object Top3Orders
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val K = 3
+    private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // price desc, okey asc
+    private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortWith(lt).take(K)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   val queries: Map[String, QFn] = Map(
+    "agg_topk_heap" -> ((s: SparkSession, d: String) => {
+      val topk = udaf(Top3Orders)
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("o_custkey"), col("s._2").as("o_orderkey"),
+          col("s._1").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     "udf_scalar" -> ((s: SparkSession, d: String) => {
       val norm = udf((text: String) =>
         if (text == null) null
@@ -68,6 +107,13 @@ object UdxOps {
   private val DecimalType16 = org.apache.spark.sql.types.DecimalType(16, 0)
 
   val oracle: Map[String, String] = Map(
+    // same semantics (and oracle) as win_topk_group — different plan:
+    // k-bounded partial aggregation instead of a per-partition full sort
+    "agg_topk_heap" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "udf_scalar" ->
       ("SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) " +
         "AS norm_text, CAST(length(trim(regexp_replace(lower(text), " +
