@@ -101,7 +101,32 @@ object AggOps {
     "agg_approx_distinct" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_d"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // Pivot with an explicit value list (the only scale-sane form: an
+    // implicit list means a pre-pass distinct over the pivot column).
+    "agg_pivot" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumDec(col("l_extendedprice")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0).cast(D18_2)).as("sum_f"),
+          coalesce(col("O"), lit(0).cast(D18_2)).as("sum_o"))
+        .orderBy("l_returnflag")),
+
+    // Unpivot (melt) the wide per-flag sums back to long form.
+    "agg_unpivot" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumDec(col("l_extendedprice")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0).cast(D18_2)).as("sum_f"),
+          coalesce(col("O"), lit(0).cast(D18_2)).as("sum_o"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_f"), col("sum_o")), "status", "sum_price")
+        .orderBy("l_returnflag", "status")))
 
   val oracle: Map[String, String] = Map(
     "agg_groupby" ->
@@ -136,5 +161,27 @@ object AggOps {
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' " +
         "ORDER BY l_linenumber) AS lines FROM lineitem " +
-        "GROUP BY l_orderkey ORDER BY l_orderkey"))
+        "GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "agg_pivot" ->
+      ("SELECT l_returnflag, " +
+        "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)), " +
+        "CAST(0 AS DECIMAL(18,2))) AS sum_f, " +
+        "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)), " +
+        "CAST(0 AS DECIMAL(18,2))) AS sum_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "agg_unpivot" ->
+      ("WITH p AS (SELECT l_returnflag, " +
+        "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)), " +
+        "CAST(0 AS DECIMAL(18,2))) AS sum_f, " +
+        "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)), " +
+        "CAST(0 AS DECIMAL(18,2))) AS sum_o " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'sum_f' AS status, sum_f AS sum_price FROM p " +
+        "UNION ALL " +
+        "SELECT l_returnflag, 'sum_o' AS status, sum_o AS sum_price FROM p " +
+        "ORDER BY l_returnflag, status"))
 }
