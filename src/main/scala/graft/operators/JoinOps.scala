@@ -111,6 +111,20 @@ object JoinOps {
         .orderBy("p_brand")
     }),
 
+    // TPC-H Q5 shape (BASELINE.md q5_multijoin): the fact table joins
+    // through three broadcast dimensions — one shuffle total (the final
+    // aggregation), every join stage broadcast-hash.
+    "join_multiway" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy("r_name")),
+
     "join_asof" -> ((s: SparkSession, d: String) => {
       // Latest signup event at-or-before each event's ts for the same user:
       // max over an ever-growing frame ≡ as-of join of the event stream
@@ -160,6 +174,14 @@ object JoinOps {
         "SELECT p_brand, count(*) AS cnt FROM lineitem JOIN thr " +
         "ON CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) BETWEEN lo_c AND hi_c " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "join_multiway" ->
+      ("SELECT r_name, count(*) AS cnt, " + oSumDec("l_extendedprice") +
+        " AS sum_price FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
     "join_asof" ->
       ("SELECT event_id, user_id, ts_us, coalesce(signup_ts, -1) AS signup_ts " +
         "FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
