@@ -42,6 +42,18 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }),
 
+    // Token counting two ways (north star): whitespace split and a
+    // BPE-ish regex segmentation (letter runs / digit runs / punct runs —
+    // the GPT-2 pre-tokenizer shape, ASCII-simplified so both engines'
+    // regex dialects agree exactly).
+    "text_token_count" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Language ID against corpus-derived profiles: top-10 tokens per lang
     // (by frequency, token tie-break); prediction = argmax profile overlap
     // over a doc's distinct tokens, lang tie-break. Deterministic, and a
@@ -115,6 +127,10 @@ object TextAnalysisOps {
         oRound6(stopSql) + " AS stop_ratio, " +
         oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))") + " AS quality " +
         "FROM documents ORDER BY doc_id"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INTEGER) " +
+        "AS bpe_tokens FROM documents ORDER BY doc_id"),
     "text_langid" ->
       ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +
