@@ -49,10 +49,17 @@ object Tables {
     * partition-order nondeterministic; decimal sums are exact). */
   def dec2(c: Column): Column = c.cast(D18_2)
 
-  /** Deterministic money sum: DECIMAL(18,2) in and out (Spark widens the
-    * sum to DECIMAL(28,2); cast back so the parquet schema mirrors the
-    * oracle's CAST(sum(...) AS DECIMAL(18,2))). */
-  def sumDec(c: Column): Column = sum(dec2(c)).cast(D18_2)
+  /** Deterministic money sum: accumulate in DECIMAL(18,2) (exact,
+    * partition-order independent), emit DOUBLE. The final cast is the
+    * correctly-rounded IEEE conversion of one exact decimal value, so
+    * Spark and DuckDB produce bit-identical float64 — whereas emitting
+    * DECIMAL itself is hash-unsafe downstream: a comparer that floats one
+    * side sees "253942.00" vs "253942.0" on trailing-zero values. */
+  def sumDec(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Money min/max/single-value at the output boundary: exact decimal
+    * compare, DOUBLE out (same rationale as [[sumDec]]). */
+  def moneyOut(c: Column): Column = dec2(c).cast("double")
 
   /** Float-derived metrics: fixed evaluation order upstream + a pure-IEEE
     * round-to-6-decimals that both engines compute bit-identically:
@@ -66,7 +73,11 @@ object Tables {
 
   /** Oracle-side sum helper, mirrored text of [[sumDec]]. */
   def oSumDec(sqlExpr: String): String =
-    s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    s"CAST(sum(CAST($sqlExpr AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Oracle-side mirror of [[moneyOut]]. */
+  def oMoneyOut(sqlExpr: String): String =
+    s"CAST(CAST($sqlExpr AS DECIMAL(18,2)) AS DOUBLE)"
 
   /** Oracle-side mirror of [[round6]]. */
   def oRound6(sqlExpr: String): String =

@@ -55,8 +55,8 @@ object AggOps {
         .agg(count(lit(1)).as("cnt"),
           sumDec(col("l_quantity")).as("sum_qty"),
           sumDec(col("l_extendedprice")).as("sum_price"),
-          min(dec2(col("l_extendedprice"))).as("min_price"),
-          max(dec2(col("l_extendedprice"))).as("max_price"))
+          min(dec2(col("l_extendedprice"))).cast("double").as("min_price"),
+          max(dec2(col("l_extendedprice"))).cast("double").as("max_price"))
         .withColumn("avg_price",
           round6(col("sum_price").cast("double") / col("cnt")))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -81,8 +81,8 @@ object AggOps {
       t(s, d, "lineitem").groupBy(col("l_linestatus"))
         .agg(count(when(col("l_discount") > 0.05, lit(1))).as("cnt_disc"),
           coalesce(sum(when(col("l_quantity") > 25,
-            dec2(col("l_extendedprice")))).cast(D18_2),
-            lit(0).cast(D18_2)).as("sum_hi"))
+            dec2(col("l_extendedprice")))).cast("double"),
+            lit(0.0)).as("sum_hi"))
         .orderBy("l_linestatus")),
 
     "agg_rollup" -> ((s: SparkSession, d: String) => groupedCube(s, d, "rollup")),
@@ -111,8 +111,8 @@ object AggOps {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sumDec(col("l_extendedprice")))
         .select(col("l_returnflag"),
-          coalesce(col("F"), lit(0).cast(D18_2)).as("sum_f"),
-          coalesce(col("O"), lit(0).cast(D18_2)).as("sum_o"))
+          coalesce(col("F"), lit(0.0)).as("sum_f"),
+          coalesce(col("O"), lit(0.0)).as("sum_o"))
         .orderBy("l_returnflag")),
 
     // Unpivot (melt) the wide per-flag sums back to long form.
@@ -122,8 +122,8 @@ object AggOps {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sumDec(col("l_extendedprice")))
         .select(col("l_returnflag"),
-          coalesce(col("F"), lit(0).cast(D18_2)).as("sum_f"),
-          coalesce(col("O"), lit(0).cast(D18_2)).as("sum_o"))
+          coalesce(col("F"), lit(0.0)).as("sum_f"),
+          coalesce(col("O"), lit(0.0)).as("sum_o"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_f"), col("sum_o")), "status", "sum_price")
         .orderBy("l_returnflag", "status")))
@@ -133,8 +133,8 @@ object AggOps {
       ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
         oSumDec("l_quantity") + " AS sum_qty, " +
         oSumDec("l_extendedprice") + " AS sum_price, " +
-        "min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price, " +
-        "max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price, " +
+        "CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price, " +
+        "CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price, " +
         oRound6("CAST(" + oSumDec("l_extendedprice") +
         " AS DOUBLE) / count(*)") + " AS avg_price " +
         "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' " +
@@ -151,8 +151,8 @@ object AggOps {
     "agg_filtered" ->
       ("SELECT l_linestatus, count(*) FILTER (WHERE l_discount > 0.05) AS cnt_disc, " +
         "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
-        "FILTER (WHERE l_quantity > 25) AS DECIMAL(18,2)), " +
-        "CAST(0 AS DECIMAL(18,2))) AS sum_hi " +
+        "FILTER (WHERE l_quantity > 25) AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS sum_hi " +
         "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
     "agg_rollup" -> cubeSql("ROLLUP(l_returnflag, l_linestatus)"),
     "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
@@ -165,20 +165,20 @@ object AggOps {
     "agg_pivot" ->
       ("SELECT l_returnflag, " +
         "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
-        "FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)), " +
-        "CAST(0 AS DECIMAL(18,2))) AS sum_f, " +
+        "FILTER (WHERE l_linestatus = 'F') AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS sum_f, " +
         "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
-        "FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)), " +
-        "CAST(0 AS DECIMAL(18,2))) AS sum_o " +
+        "FILTER (WHERE l_linestatus = 'O') AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS sum_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_unpivot" ->
       ("WITH p AS (SELECT l_returnflag, " +
         "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
-        "FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)), " +
-        "CAST(0 AS DECIMAL(18,2))) AS sum_f, " +
+        "FILTER (WHERE l_linestatus = 'F') AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS sum_f, " +
         "coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
-        "FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)), " +
-        "CAST(0 AS DECIMAL(18,2))) AS sum_o " +
+        "FILTER (WHERE l_linestatus = 'O') AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) AS sum_o " +
         "FROM lineitem GROUP BY l_returnflag) " +
         "SELECT l_returnflag, 'sum_f' AS status, sum_f AS sum_price FROM p " +
         "UNION ALL " +

@@ -48,7 +48,7 @@ object JoinOps {
         .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("cnt"),
-          coalesce(sumDec(col("o_totalprice")), lit(0).cast(D18_2))
+          coalesce(sumDec(col("o_totalprice")), lit(0.0))
             .as("spent"))
         .orderBy("c_custkey")),
 
@@ -144,7 +144,7 @@ object JoinOps {
     "join_hint_shuffle" -> innerEquiSql,
     "join_left_outer" ->
       ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
-        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DECIMAL(18,2))) AS spent " +
+        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DOUBLE)) AS spent " +
         "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY c_custkey ORDER BY c_custkey"),
     "join_full_outer" ->

@@ -39,7 +39,7 @@ object ScanProjOps {
       t(s, d, "customer").select(
         col("c_custkey"),
         upper(col("c_name")).as("name_u"),
-        dec2(col("c_acctbal")).as("bal"),
+        moneyOut(col("c_acctbal")).as("bal"),
         concat(col("c_mktsegment"), lit("-"),
           col("c_nationkey").cast("string")).as("seg_nat"))
         .orderBy("c_custkey")),
@@ -68,7 +68,7 @@ object ScanProjOps {
         col("l_orderkey"), col("l_linenumber"),
         col("l_orderkey").cast("string").as("okey_s"),
         col("l_orderkey").cast("double").as("okey_d"),
-        dec2(col("l_extendedprice")).as("price_dec"),
+        moneyOut(col("l_extendedprice")).as("price_dec"),
         floor(col("l_quantity")).as("qty_l"),
         col("l_shipdate").cast("date").as("ship_date"),
         col("l_shipdate").cast("date").cast("string").as("ship_s"),
@@ -82,13 +82,13 @@ object ScanProjOps {
       c.join(o, col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_acctbal"))
         .agg(count(col("o_orderkey")).as("cnt"),
-          coalesce(sumDec(col("o_totalprice")), lit(0).cast(D18_2))
+          coalesce(sumDec(col("o_totalprice")), lit(0.0))
             .as("spent"))
         .select(col("c_custkey"), col("cnt"), col("spent"),
           when(expr("nullif(cnt, 0)").isNull, 1).otherwise(0)
             .as("empty_flag"),
-          greatest(dec2(col("c_acctbal")), col("spent")).as("hi"),
-          least(dec2(col("c_acctbal")), col("spent")).as("lo"))
+          greatest(moneyOut(col("c_acctbal")), col("spent")).as("hi"),
+          least(moneyOut(col("c_acctbal")), col("spent")).as("lo"))
         .orderBy("c_custkey")
     }))
 
@@ -103,7 +103,7 @@ object ScanProjOps {
         "ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate"),
     "project_select" ->
       ("SELECT c_custkey, upper(c_name) AS name_u, " +
-        "CAST(c_acctbal AS DECIMAL(18,2)) AS bal, " +
+        oMoneyOut("c_acctbal") + " AS bal, " +
         "c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nat " +
         "FROM customer ORDER BY c_custkey"),
     "filter_pred" ->
@@ -120,7 +120,7 @@ object ScanProjOps {
       ("SELECT l_orderkey, l_linenumber, " +
         "CAST(l_orderkey AS VARCHAR) AS okey_s, " +
         "CAST(l_orderkey AS DOUBLE) AS okey_d, " +
-        "CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec, " +
+        oMoneyOut("l_extendedprice") + " AS price_dec, " +
         "CAST(floor(l_quantity) AS BIGINT) AS qty_l, " +
         "CAST(l_shipdate AS DATE) AS ship_date, " +
         "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s, " +
@@ -129,12 +129,12 @@ object ScanProjOps {
         "ship_date"),
     "cond_null_funcs" ->
       ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
-        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DECIMAL(18,2))) AS spent, " +
+        "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DOUBLE)) AS spent, " +
         "CASE WHEN nullif(count(o_orderkey), 0) IS NULL THEN 1 ELSE 0 END AS empty_flag, " +
-        "CAST(greatest(CAST(c_acctbal AS DECIMAL(18,2)), coalesce(" + oSumDec("o_totalprice") +
-        ", CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS hi, " +
-        "CAST(least(CAST(c_acctbal AS DECIMAL(18,2)), coalesce(" + oSumDec("o_totalprice") +
-        ", CAST(0 AS DECIMAL(18,2)))) AS DECIMAL(18,2)) AS lo " +
+        "greatest(" + oMoneyOut("c_acctbal") + ", coalesce(" + oSumDec("o_totalprice") +
+        ", CAST(0 AS DOUBLE))) AS hi, " +
+        "least(" + oMoneyOut("c_acctbal") + ", coalesce(" + oSumDec("o_totalprice") +
+        ", CAST(0 AS DOUBLE))) AS lo " +
         "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
         "GROUP BY c_custkey, c_acctbal ORDER BY c_custkey"))
 }

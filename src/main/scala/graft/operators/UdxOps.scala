@@ -94,7 +94,8 @@ object UdxOps {
         .agg(wavgCents(col("l_extendedprice"), col("l_quantity")).as("cents"))
         .select(col("l_returnflag"),
           (col("cents").cast(DecimalType16) *
-            lit(new java.math.BigDecimal("0.01"))).cast(D18_2).as("wavg"))
+            lit(new java.math.BigDecimal("0.01"))).cast(D18_2)
+            .cast("double").as("wavg"))
         .orderBy("l_returnflag")
     }),
 
@@ -125,7 +126,7 @@ object UdxOps {
         "CAST(floor(l_quantity + 0.5) AS BIGINT)) AS pq, " +
         "sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q " +
         "FROM lineitem GROUP BY 1) " +
-        "SELECT l_returnflag, CAST((pq // q) * 0.01 AS DECIMAL(18,2)) AS wavg " +
+        "SELECT l_returnflag, CAST(CAST((pq // q) * 0.01 AS DECIMAL(18,2)) AS DOUBLE) AS wavg " +
         "FROM c ORDER BY l_returnflag"),
     "udtf_generate" ->
       ("SELECT l_orderkey, l_linenumber, " +

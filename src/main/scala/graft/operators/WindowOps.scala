@@ -45,7 +45,7 @@ object WindowOps {
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           count(lit(1)).over(wAll).as("run_cnt"),
-          sum(dec2(col("o_totalprice"))).over(wAll).cast(D18_2).as("run_sum"),
+          sum(dec2(col("o_totalprice"))).over(wAll).cast("double").as("run_sum"),
           round6(sum(dec2(col("o_totalprice"))).over(w7).cast("double") /
             count(lit(1)).over(w7)).as("mov7"))
         .orderBy("o_custkey", "o_orderkey")
@@ -57,7 +57,7 @@ object WindowOps {
       t(s, d, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           count(lit(1)).over(w).as("cnt_near"),
-          sum(dec2(col("o_totalprice"))).over(w).cast(D18_2).as("sum_near"))
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("sum_near"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -101,7 +101,7 @@ object WindowOps {
     "win_running" ->
       ("SELECT o_custkey, o_orderkey, " +
         "count(*) OVER w AS run_cnt, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS run_sum, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum, " +
         oRound6("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w7 AS DOUBLE) " +
         "/ count(*) OVER w7") + " AS mov7 " +
         "FROM orders WINDOW " +
@@ -112,7 +112,7 @@ object WindowOps {
         "ORDER BY o_custkey, o_orderkey"),
     "win_range_frame" ->
       ("SELECT o_custkey, o_orderkey, count(*) OVER w AS cnt_near, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS sum_near " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_near " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
         "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey"),

@@ -47,6 +47,14 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fails.append((name, f"load/exec error: {e}"))
         continue
+    dec_cols = [f.name for f in got.schema if "decimal" in str(f.type)]
+    if dec_cols:
+        # The driver's hash floats one side but not the other: a decimal
+        # value with a trailing zero ("253942.00" vs "253942.0") always
+        # hash-mismatches. Emit DOUBLE at the output boundary instead
+        # (see Tables.sumDec/moneyOut); r02 lost 12 keys to this.
+        fails.append((name, f"decimal output columns (driver hash-unsafe): {dec_cols}"))
+        continue
     wcols, gcols = sorted(want.column_names), sorted(got.column_names)
     if wcols != gcols:
         fails.append((name, f"schema: oracle {wcols} vs spark {gcols}"))
