@@ -15,12 +15,25 @@ import org.apache.spark.sql.types._
   * preference order (a) compose built-ins — done everywhere else —
   * (b) custom codegen Expression — this — before any UDF.
   *
-  * Assumes non-null array elements (the embeddings corpus guarantees it);
-  * a null array on either side yields null via BinaryExpression's
-  * null-safe contract.
+  * Null/padding semantics replicate the declarative form exactly, so the
+  * [[graft.plans.DotProductRewrite]] substitution is semantics-preserving
+  * for ALL inputs: zip_with pads the shorter array with nulls and a null
+  * element nulls the whole sum, so unequal lengths or any null element
+  * yield NULL here too. The per-element null check is only emitted when a
+  * child's ArrayType has containsNull=true — the embeddings corpus is
+  * containsNull=false, so its hot loop stays branch-free.
   */
 case class DotProductF32(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  /** Result can be NULL (length mismatch / null element) even for
+    * non-null inputs. */
+  override def nullable: Boolean = true
+
+  private def mayContainNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,10 +53,12 @@ case class DotProductF32(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (mayContainNull && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -55,13 +70,21 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val nullCheck = if (mayContainNull)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -52,9 +52,21 @@ object MultimodalOps {
       decoded.orderBy("doc_id")
     }))
 
+  // head_sum oracle is byte-based to mirror the kernel exactly (DuckDB
+  // can't substring a BLOB, so go through hex() and decode nibble pairs):
+  // sums the first min(8, octet_length) UTF-8 bytes, 0 for empty text —
+  // correct for non-ASCII and <8-char documents, not just the happy path.
+  private val oHeadSum: String =
+    "coalesce(list_sum(list_transform(" +
+      "range(1, CAST(least(octet_length(encode(text)), 8) AS BIGINT) + 1), " +
+      "j -> 16*(strpos('0123456789ABCDEF', " +
+      "substr(hex(encode(text)), CAST(2*j-1 AS INTEGER), 1))-1) + " +
+      "(strpos('0123456789ABCDEF', " +
+      "substr(hex(encode(text)), CAST(2*j AS INTEGER), 1))-1))), 0)"
+
   val oracle: Map[String, String] = Map(
     "mm_binary_stats" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
-        "CAST(" + (1 to 8).map(i => s"ord(substr(text, $i, 1))").mkString(" + ") +
-        " AS BIGINT) AS head_sum, lang FROM documents ORDER BY doc_id"))
+        s"CAST($oHeadSum AS BIGINT) AS head_sum, lang " +
+        "FROM documents ORDER BY doc_id"))
 }

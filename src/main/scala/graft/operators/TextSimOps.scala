@@ -128,9 +128,15 @@ object TextSimOps {
         .where(lit(100) * expr("bit_count(ma & mb)") >=
           lit(95) * expr("bit_count(ma | mb)"))
         .select(col("da"), col("db"))
+      // Spark's sequence(1, n) DESCENDS for n < 1, so a <5-char text
+      // would yield garbage shingles where the oracle's range() is empty
+      // — guard to an explicit empty list for short texts.
       val grams = t(s, d, "documents").select(col("doc_id"),
         array_distinct(expr(
-          "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+          "CASE WHEN length(text) >= 5 THEN " +
+            "transform(sequence(1, length(text) - 4), " +
+            "i -> substring(text, i, 5)) " +
+            "ELSE CAST(array() AS array<string>) END"))
           .as("ng"))
       cand
         .join(grams.select(col("doc_id").as("da"), col("ng").as("ga")), "da")

@@ -13,9 +13,11 @@ import graft.functions.DotProductF32
   *             (acc, v) -> acc + v)
   *
   * over float arrays into the codegen'd [[DotProductF32]] — semantics are
-  * identical by construction (same fixed-order IEEE arithmetic), the
-  * rewrite just moves the loop from interpreted higher-order lambdas into
-  * whole-stage codegen. Users keep writing the idiomatic declarative
+  * identical for ALL inputs: same fixed-order IEEE arithmetic, and
+  * DotProductF32 replicates zip_with's null-padding behavior (unequal
+  * lengths or a null element → NULL result), so installing the rule never
+  * changes query results. The rewrite just moves the loop from
+  * interpreted higher-order lambdas into whole-stage codegen. Users keep writing the idiomatic declarative
   * form; the optimizer picks the fast operator — the Spark-first answer
   * to "custom operator" (vs. asking users to call a UDF).
   *

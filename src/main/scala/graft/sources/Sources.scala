@@ -74,16 +74,20 @@ final class PartitionedParquetSink(root: String, partitionCols: Seq[String])
 
 /** Idempotent keyed upsert semantics (the reference's Cassandra write
   * discipline): within a batch, exactly one row per key survives —
-  * deterministically the one with the highest `versionCol` (ties broken
-  * by the key itself via the total window order), never "whichever
-  * partition wrote last". Wrap any store-specific [[Sink]] with this to
-  * make re-ingestion runs idempotent.
+  * deterministically the one with the highest `versionCol`, with
+  * equal-version duplicates tie-broken by every remaining payload column
+  * (keyCols are constant within the window partition, so they cannot
+  * break ties — the payload columns give the window a total order),
+  * never "whichever partition wrote last". Wrap any store-specific
+  * [[Sink]] with this to make re-ingestion runs idempotent.
   */
 final class KeyedUpsertSink(delegate: Sink, keyCols: Seq[String],
     versionCol: String) extends Sink {
   override def write(df: DataFrame, table: String): Unit = {
+    val tieBreak = df.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == versionCol).map(col)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(versionCol).desc +: keyCols.map(col)): _*)
+      .orderBy((col(versionCol).desc +: tieBreak): _*)
     val deduped = df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
     delegate.write(deduped, table)

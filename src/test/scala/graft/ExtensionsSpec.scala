@@ -31,6 +31,34 @@ class ExtensionsSpec extends SparkTestBase {
     vals.foreach(v => assert(math.abs(v - 1.0) < 1e-3, s"self-dot $v"))
   }
 
+  test("dot_f32 replicates zip_with null/padding semantics exactly") {
+    GraftExtensions.install(spark)
+    // Each case evaluated both ways: the declarative idiom (which the
+    // optimizer may rewrite) must agree with dot_f32 itself — including
+    // unequal lengths (zip_with pads with nulls → NULL) and null
+    // elements (NULL propagates through the sum).
+    val cases = Seq(
+      ("CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)",
+        "CAST(array(3.0) AS ARRAY<FLOAT>)"),               // unequal length
+      ("CAST(array(1.0, NULL) AS ARRAY<FLOAT>)",
+        "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)"),          // null element
+      ("CAST(array() AS ARRAY<FLOAT>)",
+        "CAST(array() AS ARRAY<FLOAT>)"),                  // both empty → 0.0
+      ("CAST(NULL AS ARRAY<FLOAT>)",
+        "CAST(array(1.0) AS ARRAY<FLOAT>)"))               // null input
+    for ((a, b) <- cases) {
+      val declarative = spark.sql(
+        s"SELECT aggregate(zip_with($a, $b, (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, " +
+          "(acc, v) -> acc + v) AS d").collect()(0)
+      val custom = spark.sql(s"SELECT dot_f32($a, $b) AS d").collect()(0)
+      assert(declarative.isNullAt(0) == custom.isNullAt(0) &&
+        (declarative.isNullAt(0) ||
+          declarative.getDouble(0) == custom.getDouble(0)),
+        s"dot_f32($a, $b): declarative=$declarative custom=$custom")
+    }
+  }
+
   test("rewrite leaves non-matching aggregates alone") {
     GraftExtensions.installOptimizations(spark)
     val df = graft.Tables.t(spark, sf, "embeddings")

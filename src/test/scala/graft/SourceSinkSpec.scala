@@ -43,6 +43,27 @@ class SourceSinkSpec extends SparkTestBase {
       "a lower-version row survived")
   }
 
+  test("KeyedUpsertSink picks equal-version duplicates deterministically") {
+    val ss = spark
+    import ss.implicits._
+    // two rows per key with the SAME version but different payloads —
+    // the survivor must be the payload-order minimum, not whichever
+    // partition the window scanned first
+    val rows = (1 to 50).flatMap(k =>
+      Seq((k.toLong, 1L, "b_payload"), (k.toLong, 1L, "a_payload")))
+    val df = rows.toDF("k", "v", "payload").repartition(8)
+    val survivors = (1 to 3).map { _ =>
+      val root = tmp()
+      new KeyedUpsertSink(new ParquetSink(root), Seq("k"), "v")
+        .write(df, "t")
+      spark.read.parquet(s"$root/t").orderBy("k")
+        .select("payload").as[String].collect().toSeq
+    }
+    assert(survivors.head.forall(_ == "a_payload"),
+      "tie-break should order by payload columns ascending")
+    assert(survivors.distinct.size == 1, "equal-version survivor varied across runs")
+  }
+
   test("PartitionedParquetSink lays out partition directories") {
     val root = tmp()
     new PartitionedParquetSink(root, Seq("l_returnflag")).write(li, "li")
