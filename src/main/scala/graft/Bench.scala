@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One untimed action to absorb first-action session setup (scheduler,
+    // codegen compiler, parquet footer reader) so each per-query time
+    // measures the operator; whichever query ran first was otherwise
+    // charged ~2-3 s of one-time cost (r02: join_cross 4.0 s cold vs
+    // ~1 s steady-state).
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,8 +6,8 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
   * and §7 (build plan). Every key below is one §2 row; every key with a
   * deterministic ANSI-SQL formulation also appears in [[oracleSql]] for
-  * the driver's DuckDB hash-compare. The 4 ⊘ keys (agg_approx_distinct,
-  * dedup_minhash, text_fingerprint, knn_ann_srp — sketch/LSH internals
+  * the driver's DuckDB hash-compare. The 5 ⊘ keys (agg_approx_distinct,
+  * dedup_minhash, text_fingerprint, knn_ann_srp, knn_ivf — sketch/LSH/IVF internals
   * differ across engines) are covered by in-repo tests instead (SURVEY §5).
   */
 object SparkEntry {

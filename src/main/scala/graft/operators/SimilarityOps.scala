@@ -34,6 +34,25 @@ object SimilarityOps {
       when(dot(v, typedLit(planes(table)(j))) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: nlist seeded unit-norm centroid directions.
+    * Data-independent so cell assignment is a pure map-side expression
+    * (no training pass, no collect, no shuffle) and bit-deterministic
+    * across runs and partitionings. */
+  private val IvfNlist = 16
+  private val IvfNprobe = 6
+  private lazy val ivfCentroids: IndexedSeq[Array[Float]] = {
+    val rnd = new scala.util.Random(7L)
+    IndexedSeq.fill(IvfNlist) {
+      val v = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+  }
+
+  /** Per-row array of the vector's dot with every centroid. */
+  private def centroidDots(v: Column): Column =
+    array(ivfCentroids.map(c => dot(v, typedLit(c))): _*)
+
   val queries: Map[String, QFn] = Map(
     "dedup_embed" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
@@ -43,6 +62,34 @@ object SimilarityOps {
         .select(col("a"), col("b"), round6(dot(col("ea"), col("eb"))).as("cos"))
         .where(col("cos") >= 0.3)
         .orderBy("a", "b")
+    }),
+
+    // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
+    // ExtOpsSpec. Each vector is assigned to its nearest of nlist=16
+    // centroids (argmax of dot, first index on ties — deterministic); the
+    // query probes its nprobe=6 best cells and brute-forces only those.
+    // 100 TB path: `cell` is the write-time partition/bucket key, so a
+    // probe is partition pruning — the scan touches nprobe/nlist of the
+    // corpus; assignment itself is embarrassingly parallel map-side work
+    // against literal (broadcast) centroids with zero shuffle.
+    "knn_ivf" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val cells = emb
+        .withColumn("cds", centroidDots(col("embedding")))
+        .withColumn("cell", expr("array_position(cds, array_max(cds))"))
+      val q = cells.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("cds").as("qds"))
+      // candidate iff the query ranks this vector's cell within its top
+      // nprobe centroids: fewer than nprobe of the query's centroid dots
+      // strictly beat the dot to this cell's centroid
+      cells.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .where(size(filter(col("qds"),
+          x => x > element_at(col("qds"), col("cell").cast("int"))))
+          < IvfNprobe)
+        .select(col("vec_id"),
+          round6(dot(col("embedding"), col("qe"))).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
     }),
 
     // ⊘ approximate ANN — no oracle; recall vs knn_cosine in ExtOpsSpec.

@@ -60,6 +60,20 @@ class ExtOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall too low")
   }
 
+  test("knn_ivf probes nprobe cells and recalls most of the exact top-10") {
+    val exact = SparkEntry.queries("knn_cosine")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SparkEntry.queries("knn_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    // same metric: any overlap with the exact list must agree on cos
+    ivf.foreach { case (id, cos) =>
+      exact.get(id).foreach(e => assert(math.abs(e - cos) < 1e-9)) }
+    val recall = exact.keySet.count(ivf.map(_._1).contains).toDouble / exact.size
+    info(s"IVF recall@10 = $recall (nlist=16, nprobe=6)")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("dedup_embed pairs are symmetric-free and above threshold") {
     val out = SparkEntry.queries("dedup_embed")(spark, sf).collect()
     assert(out.nonEmpty)
