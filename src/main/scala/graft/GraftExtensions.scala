@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotF32)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -28,6 +29,13 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       dotF32._1, dotF32._2, dotF32._3)
+
+  /** Adds the custom planner strategies to a live session (extensions
+    * configured at session build do this automatically). */
+  def installStrategies(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
 
   /** Adds the declarative→codegen rewrite rules to a live session
     * (extensions configured at session build do this automatically). */

@@ -37,6 +37,23 @@ object WindowOps {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Same result contract as win_topk_group, computed by the custom
+    // two-phase physical operator instead of WindowExec: the partial
+    // pass bounds shuffle volume to ≤k rows per (group × partition).
+    // The trailing row_number only ranks the ≤3 survivors per customer
+    // and reuses the exchange's hash partitioning (no second shuffle).
+    "win_topk_physical" -> ((s: SparkSession, d: String) => {
+      val top = GraftOps.topKPerGroup(
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)),
+        3)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      top.withColumn("rn", row_number().over(w))
+        .orderBy("o_custkey", "rn")
+    }),
+
     "win_running" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -98,6 +115,11 @@ object WindowOps {
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
         s"(SELECT *, row_number() $rankOver AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "win_topk_physical" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) " +
+        "AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
     "win_running" ->
       ("SELECT o_custkey, o_orderkey, " +
         "count(*) OVER w AS run_cnt, " +

@@ -15,4 +15,16 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame (for wrapping in a custom
+    * logical node — attributes are resolved, so the node can bind
+    * group/order expressions directly against `plan.output`). */
+  def analyzed(df: Dataset[Row]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** DataFrame over a hand-built logical plan (custom operator entry). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

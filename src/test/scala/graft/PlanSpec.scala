@@ -62,6 +62,27 @@ class PlanSpec extends SparkTestBase {
       s"no partial aggregation in:\n$p")
   }
 
+  test("win_topk_physical plans partial+final custom execs around one exchange") {
+    val p = plan("win_topk_physical")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"custom strategy did not fire:\n$p")
+    val partialIdx = p.indexOf("TopKPerGroupPartial")
+    val finalIdx = p.indexOf("TopKPerGroupFinal")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"exchange not between final and partial (final@$finalIdx " +
+        s"exchange@$exchangeIdx partial@$partialIdx):\n$p")
+  }
+
+  test("win_topk_physical equals the window-function formulation") {
+    val viaWindow = SparkEntry.queries("win_topk_group")(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn").collect()
+    val viaExec = SparkEntry.queries("win_topk_physical")(spark, sf).collect()
+    assert(viaExec.length == viaWindow.length,
+      s"${viaExec.length} vs ${viaWindow.length} rows")
+    viaWindow.zip(viaExec).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("window_session shuffles once on user_id before both window passes") {
     val p = plan("window_session")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
