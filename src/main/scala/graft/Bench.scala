@@ -12,12 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One untimed action to absorb first-action session setup (scheduler,
-    // codegen compiler, parquet footer reader) so each per-query time
-    // measures the operator; whichever query ran first was otherwise
-    // charged ~2-3 s of one-time cost (r02: join_cross 4.0 s cold vs
-    // ~1 s steady-state).
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Untimed warmup: one count per corpus table absorbs first-action
+    // session setup (scheduler, codegen compiler) and per-table footer /
+    // file-open cost, so each per-query time measures the operator;
+    // whichever query touched a table first was otherwise charged its
+    // one-time cost (r02: join_cross 4.0 s cold vs ~1 s steady-state,
+    // dedup_exact 2.9 s cold vs 0.5 s warm).
+    Tables.AllTables.foreach { n =>
+      spark.read.parquet(s"$sfDir/$n.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
