@@ -30,6 +30,14 @@ object MultimodalOps {
     StructField("head_sum", LongType, nullable = false),
     StructField("lang", StringType, nullable = false)))
 
+  private val FrameBytes = 16
+  private val SampleEvery = 4
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
   val queries: Map[String, QFn] = Map(
     "mm_binary_stats" -> ((s: SparkSession, d: String) => {
       val bin = t(s, d, "documents").select(
@@ -50,6 +58,37 @@ object MultimodalOps {
         }
       }(Encoders.row(outSchema))
       decoded.orderBy("doc_id")
+    }),
+
+    // Frame sampling: the 1→N batch shape (vs mm_binary_stats' 1→1) —
+    // treat the blob as a fixed-frame-size stream, keep every 4th frame,
+    // emit one feature row per sampled frame. A real video pipeline swaps
+    // the checksum for a frame decoder; the iterator discipline (flatMap
+    // per partition, no materialized per-doc collection, blob never on
+    // the shuffle path) is what carries to 100 TB.
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => {
+      val bin = t(s, d, "documents").select(
+        col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      val sampled = bin.mapPartitions { it =>
+        it.flatMap { r =>
+          val docId = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val nFrames = (blob.length + FrameBytes - 1) / FrameBytes
+          (0 until nFrames).iterator
+            .filter(_ % SampleEvery == 0)
+            .map { fi =>
+              val start = fi * FrameBytes
+              val end = math.min(start + FrameBytes, blob.length)
+              // --- frame kernel stub: real decode/resize goes here ---
+              var sum = 0L
+              var i = start
+              while (i < end) { sum += blob(i) & 0xff; i += 1 }
+              // -------------------------------------------------------
+              Row(docId, fi.toLong, end - start, sum)
+            }
+        }
+      }(Encoders.row(frameSchema))
+      sampled.orderBy("doc_id", "frame_idx")
     }))
 
   // head_sum oracle is byte-based to mirror the kernel exactly (DuckDB
@@ -64,9 +103,25 @@ object MultimodalOps {
       "(strpos('0123456789ABCDEF', " +
       "substr(hex(encode(text)), CAST(2*j AS INTEGER), 1))-1))), 0)"
 
+  // byte j (1-based) of the UTF-8 blob, via hex nibble decoding
+  private def oByteAt(j: String): String =
+    s"16*(strpos('0123456789ABCDEF', substr(hex(encode(text)), CAST(2*($j)-1 AS INTEGER), 1))-1)" +
+      s" + (strpos('0123456789ABCDEF', substr(hex(encode(text)), CAST(2*($j) AS INTEGER), 1))-1)"
+
   val oracle: Map[String, String] = Map(
     "mm_binary_stats" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
         s"CAST($oHeadSum AS BIGINT) AS head_sum, lang " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, fi AS frame_idx, " +
+        s"CAST(least($FrameBytes, octet_length(encode(text)) - $FrameBytes*fi) " +
+        "AS INTEGER) AS n_bytes, " +
+        "CAST(coalesce(list_sum(list_transform(" +
+        s"range($FrameBytes*fi + 1, " +
+        s"least($FrameBytes*fi + $FrameBytes, octet_length(encode(text))) + 1), " +
+        s"j -> ${oByteAt("j")})), 0) AS BIGINT) AS checksum " +
+        "FROM documents, LATERAL (SELECT unnest(range(0, " +
+        s"CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT))) AS fi) u " +
+        s"WHERE fi % $SampleEvery = 0 ORDER BY doc_id, frame_idx"))
 }
