@@ -125,6 +125,45 @@ object JoinOps {
           sumDec(col("l_extendedprice")).as("sum_price"))
         .orderBy("r_name")),
 
+    // Bloom runtime-filter pattern made explicit: build a bloom over the
+    // filtered dimension's keys (bit-OR merge — partition-order
+    // deterministic), prune the fact scan with might_contain BEFORE the
+    // shuffle, then the exact join removes the false positives. At 100 TB
+    // this is THE big-join move: the fact side sheds non-matching rows at
+    // the map side instead of shuffling them (what Spark's internal
+    // InjectRuntimeFilter does for selective joins, exposed as library
+    // surface via GraftExtensions' bloom_filter_agg/might_contain).
+    "join_bloom_filtered" -> ((s: SparkSession, d: String) => {
+      graft.GraftExtensions.install(s)
+      val urgent = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      urgent.createOrReplaceTempView("graft_bloom_build")
+      t(s, d, "lineitem")
+        .where(expr("might_contain(" +
+          "(SELECT bloom_filter_agg(xxhash64(o_orderkey)) " +
+          "FROM graft_bloom_build), xxhash64(l_orderkey))"))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Salted join (SkewUtils): result-equivalent to the plain equi-join
+    // for any salt assignment — the salt only scatters a hot key across
+    // `salt` parallel tasks — oracled by the UNsalted SQL.
+    "join_skew_salted" -> ((s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      SkewUtils.saltedJoin(li, sup, "s_suppkey", 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy("s_nationkey")
+    }),
+
     "join_asof" -> ((s: SparkSession, d: String) => {
       // Latest signup event at-or-before each event's ts for the same user:
       // max over an ever-growing frame ≡ as-of join of the event stream
@@ -142,6 +181,17 @@ object JoinOps {
   val oracle: Map[String, String] = Map(
     "join_inner_equi" -> innerEquiSql,
     "join_hint_shuffle" -> innerEquiSql,
+    "join_bloom_filtered" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        oSumDec("l_extendedprice") + " AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "join_skew_salted" ->
+      ("SELECT s_nationkey, count(*) AS cnt, " +
+        oSumDec("l_extendedprice") + " AS sum_price " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "join_left_outer" ->
       ("SELECT c_custkey, count(o_orderkey) AS cnt, " +
         "coalesce(" + oSumDec("o_totalprice") + ", CAST(0 AS DOUBLE)) AS spent " +

@@ -59,6 +59,16 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom_filter_agg/might_contain admit every inserted key (no false negatives)") {
+    GraftExtensions.install(spark)
+    graft.Tables.t(spark, sf, "orders").createOrReplaceTempView("bloom_orders")
+    val missed = spark.sql(
+      "SELECT count(*) AS c FROM bloom_orders WHERE NOT might_contain(" +
+        "(SELECT bloom_filter_agg(xxhash64(o_orderkey)) FROM bloom_orders), " +
+        "xxhash64(o_orderkey))").collect()(0).getLong(0)
+    assert(missed == 0, s"bloom dropped $missed true keys")
+  }
+
   test("rewrite leaves non-matching aggregates alone") {
     GraftExtensions.installOptimizations(spark)
     val df = graft.Tables.t(spark, sf, "embeddings")
