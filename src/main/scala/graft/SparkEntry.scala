@@ -21,7 +21,7 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FnOps.queries ++
       TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries ++
       MultimodalOps.queries ++ TextAnalysisOps.queries ++
-      SimilarityOps.queries
+      SimilarityOps.queries ++ EtlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +32,5 @@ object SparkEntry {
       WindowOps.oracle ++ SortSetOps.oracle ++ FnOps.oracle ++
       TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle ++
       MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
-      SimilarityOps.oracle
+      SimilarityOps.oracle ++ EtlOps.oracle
 }
