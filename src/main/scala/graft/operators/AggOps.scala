@@ -90,6 +90,28 @@ object AggOps {
     "agg_grouping_sets" -> ((s: SparkSession, d: String) =>
       groupedCube(s, d, "sets")),
 
+    // Equi-width histogram: bucket index from pure IEEE ops (sub, div,
+    // floor) both engines compute bit-identically; the bucket count agg
+    // is the usual 2-phase map-side-combining shape.
+    "agg_histogram" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .select(least(floor((col("o_totalprice") - lit(0.0)) / lit(25000.0))
+          .cast("int"), lit(19)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // Exact per-group quantiles: median/p90 via linear interpolation —
+    // Spark percentile() and DuckDB quantile_cont() share the
+    // (1-f)·lo + f·hi definition; round6 absorbs any last-ulp skew.
+    "agg_percentile" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round6(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          round6(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+        .orderBy("o_orderstatus")),
+
     "agg_collect_sorted" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(array_join(
@@ -158,6 +180,15 @@ object AggOps {
     "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
     "agg_grouping_sets" -> cubeSql(
       "GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())"),
+    "agg_histogram" ->
+      ("SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 19) " +
+        "AS INTEGER) AS bucket, count(*) AS cnt " +
+        "FROM orders GROUP BY bucket ORDER BY bucket"),
+    "agg_percentile" ->
+      ("SELECT o_orderstatus, " +
+        oRound6("quantile_cont(o_totalprice, 0.5)") + " AS p50, " +
+        oRound6("quantile_cont(o_totalprice, 0.9)") + " AS p90 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' " +
         "ORDER BY l_linenumber) AS lines FROM lineitem " +
