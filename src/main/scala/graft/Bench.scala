@@ -18,9 +18,7 @@ object Bench {
     // whichever query touched a table first was otherwise charged its
     // one-time cost (r02: join_cross 4.0 s cold vs ~1 s steady-state,
     // dedup_exact 2.9 s cold vs 0.5 s warm).
-    Tables.AllTables.foreach { n =>
-      spark.read.parquet(s"$sfDir/$n.parquet").count()
-    }
+    Tables.AllTables.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -43,7 +43,9 @@ object GraftExtensions {
       exprs => exprs.length match {
         case 1 => new BloomFilterAggregate(exprs.head)
         case 2 => new BloomFilterAggregate(exprs.head, exprs(1))
-        case _ => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+        case 3 => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1 to 3 arguments, got $n")
       })
 
   val mightContain: (FunctionIdentifier, ExpressionInfo,
@@ -60,9 +62,10 @@ object GraftExtensions {
     }
 
   /** Adds the custom planner strategies to a live session (extensions
-    * configured at session build do this automatically). */
+    * configured at session build do this automatically — the planner
+    * check covers both injection paths, so this never double-registers). */
   def installStrategies(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
 

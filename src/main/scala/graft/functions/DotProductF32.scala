@@ -30,10 +30,11 @@ case class DotProductF32(left: Expression, right: Expression)
     * non-null inputs. */
   override def nullable: Boolean = true
 
-  private def mayContainNull: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, n) => n
-    case _ => false
-  })
+  @transient private lazy val mayContainNull: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {

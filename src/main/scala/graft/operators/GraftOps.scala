@@ -15,6 +15,9 @@ object GraftOps {
     * columns should form a total order for deterministic results. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (for a global top-k use orderBy().limit(k))")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     graft.GraftExtensions.installStrategies(df.sparkSession)
     val plan = GraftBridge.analyzed(df)
     def attr(n: String) = plan.output.find(_.name == n).getOrElse(

@@ -19,6 +19,8 @@ import graft.Tables._
   * last-match-≤-ts formulation — a single shuffle on user_id, no self-join.
   */
 object JoinOps {
+  private val bloomViewId = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def innerEqui(s: SparkSession, d: String, merge: Boolean) = {
     val c0 = t(s, d, "customer")
     val c = if (merge) c0.hint("merge") else c0
@@ -138,11 +140,15 @@ object JoinOps {
       val urgent = t(s, d, "orders")
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
-      urgent.createOrReplaceTempView("graft_bloom_build")
+      // per-invocation view name: concurrent calls on one session must
+      // not resolve each other's build side (results are unaffected by
+      // the name — it only hosts the scalar subquery)
+      val view = s"graft_bloom_build_${JoinOps.bloomViewId.incrementAndGet()}"
+      urgent.createOrReplaceTempView(view)
       t(s, d, "lineitem")
         .where(expr("might_contain(" +
           "(SELECT bloom_filter_agg(xxhash64(o_orderkey)) " +
-          "FROM graft_bloom_build), xxhash64(l_orderkey))"))
+          s"FROM $view), xxhash64(l_orderkey))"))
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),

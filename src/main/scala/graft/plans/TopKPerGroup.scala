@@ -43,12 +43,19 @@ case class TopKPerGroupPlan(
 
 /** Planner strategy: logical TopKPerGroupPlan → partial + final execs.
   * EnsureRequirements inserts the hash exchange between them because the
-  * final exec demands ClusteredDistribution while the partial does not. */
+  * final exec demands ClusteredDistribution while the partial does not.
+  *
+  * Group keys are float-normalized (-0.0→0.0, canonical NaN) the same
+  * way Catalyst's NormalizeFloatingNumbers rule does for Aggregate/
+  * Window — that rule does not visit custom nodes, and without it 0.0
+  * and -0.0 would both hash to different exchange partitions and land
+  * in distinct heap-map entries. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      val ng = g.map(org.apache.spark.sql.GraftBridge.normalizeFloats)
+      TopKPerGroupExec(ng, o, k, partial = false,
+        TopKPerGroupExec(ng, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

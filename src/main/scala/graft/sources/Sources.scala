@@ -84,8 +84,14 @@ final class PartitionedParquetSink(root: String, partitionCols: Seq[String])
 final class KeyedUpsertSink(delegate: Sink, keyCols: Seq[String],
     versionCol: String) extends Sink {
   override def write(df: DataFrame, table: String): Unit = {
-    val tieBreak = df.columns.toSeq
-      .filterNot(c => keyCols.contains(c) || c == versionCol).map(col)
+    // only orderable payload columns can tie-break (a map column would
+    // make Window.orderBy throw); unorderable payloads simply don't
+    // participate — duplicates differing only in those stay unspecified
+    val tieBreak = df.schema.fields.toSeq
+      .filterNot(f => keyCols.contains(f.name) || f.name == versionCol)
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(versionCol).desc +: tieBreak): _*)
     val deduped = df.withColumn("__rn", row_number().over(w))

@@ -23,6 +23,14 @@ object GraftBridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Float-normalize an expression (-0.0→0.0, canonical NaN) exactly as
+    * Catalyst's NormalizeFloatingNumbers does for Aggregate/Window keys
+    * — the rule is private[sql] and does not visit custom plan nodes,
+    * so custom grouping operators apply it themselves. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
+
   /** DataFrame over a hand-built logical plan (custom operator entry). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

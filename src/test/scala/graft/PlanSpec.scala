@@ -83,6 +83,42 @@ class PlanSpec extends SparkTestBase {
     viaWindow.zip(viaExec).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("topKPerGroup edge cases: k > group size, k = 1, tie groups") {
+    val ss = spark
+    import ss.implicits._
+    // groups: a has 2 rows (< k=3), b has 5, c has 1; d is all-ties on v
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 20.0),
+      ("b", 1, 5.0), ("b", 2, 4.0), ("b", 3, 3.0), ("b", 4, 2.0), ("b", 5, 1.0),
+      ("c", 9, 7.0),
+      ("d", 1, 6.0), ("d", 2, 6.0), ("d", 3, 6.0), ("d", 4, 6.0))
+      .toDF("g", "id", "v").repartition(5)
+    val top3 = operators.GraftOps.topKPerGroup(df, Seq("g"),
+      Seq(("v", false), ("id", true)), 3)
+      .orderBy("g", "v", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(top3 == Seq(("a", 1), ("a", 2),
+      ("b", 3), ("b", 2), ("b", 1),
+      ("c", 9),
+      ("d", 1), ("d", 2), ("d", 3)), s"got $top3")
+    val top1 = operators.GraftOps.topKPerGroup(df, Seq("g"),
+      Seq(("v", false), ("id", true)), 1)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(top1 == Seq(("a", 2), ("b", 1), ("c", 9), ("d", 1)), s"got $top1")
+  }
+
+  test("topKPerGroup merges -0.0 and 0.0 group keys like GROUP BY does") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((0.0, 1), (-0.0, 2), (-0.0, 3), (0.0, 4))
+      .toDF("g", "id").repartition(4)
+    val out = operators.GraftOps.topKPerGroup(df, Seq("g"),
+      Seq(("id", true)), 1).collect()
+    assert(out.length == 1 && out(0).getInt(1) == 1,
+      s"0.0/-0.0 split into separate groups: " +
+        out.map(r => (r.getDouble(0), r.getInt(1))).mkString(", "))
+  }
+
   test("window_session shuffles once on user_id before both window passes") {
     val p = plan("window_session")
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
