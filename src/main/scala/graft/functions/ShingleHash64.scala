@@ -33,20 +33,24 @@ case class ShingleHash64(child: Expression, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    ShingleHash64.eval(bytes, k)
+    ShingleHash64.hash(bytes, k)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHash64.eval($c.getBytes(), $k)")
+      s"graft.functions.ShingleHash64.hash($c.getBytes(), $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
     copy(child = newChild)
 }
 
 object ShingleHash64 {
-  /** Shared by interpreted eval and generated code. */
-  def eval(bytes: Array[Byte], k: Int): Long = {
+  /** Shared by interpreted eval and generated code. Must NOT be named
+    * `eval`: the case class inherits Expression.eval(InternalRow), which
+    * suppresses the companion's static forwarder, so generated Java code
+    * calling `ShingleHash64.eval(byte[], int)` failed Janino compilation
+    * and the whole stage silently fell back to interpreted mode. */
+  def hash(bytes: Array[Byte], k: Int): Long = {
     val n = bytes.length
     if (k <= 0 || k >= n) {
       var h = 0L

@@ -20,7 +20,7 @@ class PropertySpec extends AnyFunSuite {
   test("full rolling hash equals the direct fold definition") {
     check(Prop.forAll(bytesGen) { bs =>
       val ref = bs.foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
-      ShingleHash64.eval(bs, 0) == ref
+      ShingleHash64.hash(bs, 0) == ref
     })
   }
 
@@ -32,19 +32,19 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAll(gen) { case (bs, k) =>
       val windows = bs.sliding(k).filter(_.length == k).map(w =>
         w.foldLeft(0L)((h, b) => h * 31L + (b & 0xff))).toSeq
-      windows.isEmpty || ShingleHash64.eval(bs, k) == windows.min
+      windows.isEmpty || ShingleHash64.hash(bs, k) == windows.min
     })
   }
 
   test("k >= length degrades to the full-document hash") {
     check(Prop.forAll(bytesGen) { bs =>
-      ShingleHash64.eval(bs, bs.length + 1) == ShingleHash64.eval(bs, 0)
+      ShingleHash64.hash(bs, bs.length + 1) == ShingleHash64.hash(bs, 0)
     })
   }
 
   test("equal content implies equal fingerprints (pure function)") {
     check(Prop.forAll(bytesGen) { bs =>
-      ShingleHash64.eval(bs.clone(), 8) == ShingleHash64.eval(bs, 8)
+      ShingleHash64.hash(bs.clone(), 8) == ShingleHash64.hash(bs, 8)
     })
   }
 }
