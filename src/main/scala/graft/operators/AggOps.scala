@@ -112,6 +112,23 @@ object AggOps {
           round6(expr("percentile(o_totalprice, 0.9)")).as("p90"))
         .orderBy("o_orderstatus")),
 
+    // Mode (most frequent value) per group, deterministic tie-break to
+    // the smallest value — count + windowed argmax, the exact-SQL form
+    // both engines share (native mode() tie-breaks are unspecified).
+    "agg_mode" -> ((s: SparkSession, d: String) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_collect_sorted" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem").groupBy(col("l_orderkey"))
         .agg(array_join(
@@ -189,6 +206,13 @@ object AggOps {
         oRound6("quantile_cont(o_totalprice, 0.5)") + " AS p50, " +
         oRound6("quantile_cont(o_totalprice, 0.9)") + " AS p90 " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "agg_mode" ->
+      ("SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM " +
+        "(SELECT l_returnflag, l_quantity, count(*) AS cnt, " +
+        "row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY count(*) DESC, l_quantity) AS rn " +
+        "FROM lineitem GROUP BY l_returnflag, l_quantity) " +
+        "WHERE rn = 1 ORDER BY l_returnflag"),
     "agg_collect_sorted" ->
       ("SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' " +
         "ORDER BY l_linenumber) AS lines FROM lineitem " +

@@ -42,6 +42,21 @@ object FnOps {
         unix_micros(col("o_orderdate").cast("timestamp")).as("ep_us"))
         .orderBy("o_orderkey")),
 
+    // Bitwise family — exact integer ops, engine-identical by
+    // definition. (Dialect: DuckDB's ^ is POWER, so the oracle spells
+    // xor(a,b); Spark SQL's ^ is the xor.)
+    "fn_bitwise" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("l_orderkey & l_partkey").as("band"),
+        expr("l_orderkey | l_suppkey").as("bor"),
+        expr("l_orderkey ^ l_partkey").as("bxor"),
+        expr("shiftleft(l_linenumber, 3)").as("shl"),
+        expr("shiftright(l_partkey, 2)").as("shr"),
+        expr("bit_count(l_orderkey)").as("bc"))
+        .orderBy("l_orderkey", "l_linenumber", "band", "bor", "bxor",
+          "shr")),
+
     "fn_math" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -113,6 +128,16 @@ object FnOps {
         "CAST(o_orderdate AS DATE) + 30 AS plus30, " +
         "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS dd, " +
         "epoch_us(o_orderdate) AS ep_us FROM orders ORDER BY o_orderkey"),
+    "fn_bitwise" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(l_orderkey & l_partkey AS BIGINT) AS band, " +
+        "CAST(l_orderkey | l_suppkey AS BIGINT) AS bor, " +
+        "CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor, " +
+        "CAST(l_linenumber << 3 AS INTEGER) AS shl, " +
+        "CAST(l_partkey >> 2 AS BIGINT) AS shr, " +
+        "CAST(bit_count(l_orderkey) AS INTEGER) AS bc " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, band, bor, " +
+        "bxor, shr"),
     "fn_math" ->
       ("SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS ab, " +
         "CAST(floor(l_extendedprice) AS BIGINT) AS fl, " +

@@ -53,6 +53,23 @@ object SortSetOps {
     "set_except" -> ((s: SparkSession, d: String) =>
       t(s, d, "part").select(col("p_partkey").as("k"))
         .except(t(s, d, "lineitem").select(col("l_partkey").as("k")))
+        .orderBy("k")),
+
+    // Bag (multiset) semantics: duplicates survive with multiplicity
+    // max(m-n, 0) / min(m, n) — the other half of the set-op family.
+    // Summarized per key so the output stays total-order sortable.
+    "set_except_all" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(col("l_partkey").as("k"))
+        .exceptAll(t(s, d, "orders")
+          .select((col("o_orderkey") % 20000).as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy("k")),
+
+    "set_intersect_all" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem").select(col("l_partkey").as("k"))
+        .intersectAll(t(s, d, "orders")
+          .select((col("o_orderkey") % 20000).as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .orderBy("k")))
 
   val oracle: Map[String, String] = Map(
@@ -72,5 +89,15 @@ object SortSetOps {
         "SELECT p_partkey AS k FROM part ORDER BY k"),
     "set_except" ->
       ("SELECT p_partkey AS k FROM part EXCEPT " +
-        "SELECT l_partkey AS k FROM lineitem ORDER BY k"))
+        "SELECT l_partkey AS k FROM lineitem ORDER BY k"),
+    "set_except_all" ->
+      ("SELECT k, count(*) AS cnt FROM " +
+        "(SELECT l_partkey AS k FROM lineitem EXCEPT ALL " +
+        "SELECT o_orderkey % 20000 AS k FROM orders) " +
+        "GROUP BY k ORDER BY k"),
+    "set_intersect_all" ->
+      ("SELECT k, count(*) AS cnt FROM " +
+        "(SELECT l_partkey AS k FROM lineitem INTERSECT ALL " +
+        "SELECT o_orderkey % 20000 AS k FROM orders) " +
+        "GROUP BY k ORDER BY k"))
 }
