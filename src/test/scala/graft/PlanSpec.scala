@@ -125,4 +125,23 @@ class PlanSpec extends SparkTestBase {
     // one hashpartitioning(user_id) + the final range sort — no more
     assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
   }
+
+  test("similarity operators never plan an all-pairs join (VERDICT r3 #1)") {
+    // prefix-filtered candidates (word Jaccard) and tiled block pairs
+    // (embeddings) are all equi-joins: a BroadcastNestedLoopJoin or
+    // CartesianProduct anywhere is the O(N²)-pair-space regression
+    for (k <- Seq("sim_jaccard_pairs", "sim_ngram_jaccard",
+        "dedup_cluster_cc", "dedup_embed", "knn_per_label")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$k plans an all-pairs join:\n$p")
+    }
+  }
+
+  test("knn_per_label bounds the pair shuffle via TopKPerGroup execs") {
+    val p = plan("knn_per_label")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"knn_per_label no longer uses the k-bounded physical operator:\n$p")
+  }
 }
