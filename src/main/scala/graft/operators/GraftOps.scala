@@ -12,7 +12,15 @@ object GraftOps {
     * executed by the two-phase [[graft.plans.TopKPerGroupExec]]: the
     * shuffle carries at most k rows per (group × input partition)
     * instead of every row the window formulation would move. Order
-    * columns should form a total order for deterministic results. */
+    * columns should form a total order for deterministic results.
+    *
+    * Memory bound: each pass holds one ≤k-row heap PER DISTINCT GROUP
+    * seen in a partition, on-heap and without a spill path (unlike
+    * ObjectHashAggregateExec's sort-based fallback) — so per-task
+    * memory is O(groups-per-partition × k × row size). Right for
+    * many-rows-per-group workloads (the operator's purpose); for
+    * group cardinalities approaching the partition's row count, use
+    * the window formulation (win_topk_group), which sorts and spills. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(groupCols.nonEmpty,
@@ -20,9 +28,17 @@ object GraftOps {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     graft.GraftExtensions.installStrategies(df.sparkSession)
     val plan = GraftBridge.analyzed(df)
-    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column '$n' among ${plan.output.map(_.name).mkString(", ")}"))
+    // resolve with the session's resolver (honors spark.sql.caseSensitive)
+    // and reject ambiguity instead of silently picking the first match
+    val resolve = GraftBridge.resolver(df.sparkSession)
+    def attr(n: String) = plan.output.filter(a => resolve(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"no column '$n' among ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column '$n' (${many.size} matches: " +
+          s"${many.mkString(", ")}) — disambiguate upstream")
+    }
     GraftBridge.ofRows(df.sparkSession,
       TopKPerGroupPlan(
         groupCols.map(attr),

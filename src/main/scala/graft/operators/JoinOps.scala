@@ -145,7 +145,7 @@ object JoinOps {
       // the name — it only hosts the scalar subquery)
       val view = s"graft_bloom_build_${JoinOps.bloomViewId.incrementAndGet()}"
       urgent.createOrReplaceTempView(view)
-      t(s, d, "lineitem")
+      val out = t(s, d, "lineitem")
         .where(expr("might_contain(" +
           "(SELECT bloom_filter_agg(xxhash64(o_orderkey)) " +
           s"FROM $view), xxhash64(l_orderkey))"))
@@ -154,6 +154,10 @@ object JoinOps {
         .agg(count(lit(1)).as("cnt"),
           sumDec(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
+      // DataFrame analysis is eager, so the subquery is resolved by now;
+      // drop the view or a long-lived session's catalog grows per call
+      s.catalog.dropTempView(view)
+      out
     }),
 
     // Salted join (SkewUtils): result-equivalent to the plain equi-join

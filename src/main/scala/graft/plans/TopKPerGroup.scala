@@ -81,6 +81,13 @@ case class TopKPerGroupExec(
     * same keys) reuse the exchange instead of inserting a second one. */
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  /** Memory bound: the per-partition heap map holds ≤ k rows per
+    * DISTINCT group key seen in that partition, on-heap, with no spill
+    * or sort-based fallback (ObjectHashAggregateExec has one; this
+    * operator targets many-rows-per-group inputs where groups ≪ rows).
+    * Callers with partition-level group cardinality approaching the
+    * row count should use the window formulation instead — documented
+    * on [[graft.operators.GraftOps.topKPerGroup]]. */
   override protected def doExecute(): RDD[InternalRow] = {
     val gExprs = groupExprs
     val ord = ordering

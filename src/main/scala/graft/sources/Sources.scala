@@ -72,6 +72,32 @@ final class PartitionedParquetSink(root: String, partitionCols: Seq[String])
       .partitionBy(partitionCols: _*).parquet(s"$root/$table")
 }
 
+/** Bucketed (hash-clustered) parquet table sink — the co-located
+  * fact⋈fact join layout: two tables bucketed on their join key with
+  * the same bucket count join with ZERO exchange, because the scan
+  * itself reports the hash partitioning. At 100 TB this is the single
+  * biggest join lever there is: the shuffle that dominates every
+  * fact⋈fact plan is paid ONCE at write time and amortized over every
+  * subsequent join/aggregation on that key (DESIGN §3). Bucket
+  * metadata lives in the session catalog, so this sink writes a TABLE
+  * (saveAsTable), not a bare directory; the input is pre-repartitioned
+  * by the bucket expression so each bucket gets exactly one file, and
+  * sortBy keeps files internally ordered (SMJ still re-sorts — Spark
+  * ≥3 reports no bucket sort order unless the legacy
+  * bucketedTableScanOutputOrdering flag is set — but the within-bucket
+  * sort is exchange-free, spillable, and near-linear on pre-sorted
+  * runs; the EXCHANGE elimination is the scale win). */
+final class BucketedParquetSink(numBuckets: Int, bucketCols: Seq[String])
+  extends Sink {
+  override def write(df: DataFrame, table: String): Unit =
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** Idempotent keyed upsert semantics (the reference's Cassandra write
   * discipline): within a batch, exactly one row per key survives —
   * deterministically the one with the highest `versionCol`, with

@@ -11,12 +11,25 @@ import graft.sources.Sink
   * file:line exists). Here: Structured Streaming file replay →
   * `dropDuplicates` within the watermark → `foreachBatch` into any
   * [[graft.sources.Sink]]. With a Cassandra-connector-backed Sink this
-  * IS that service; offline it lands in append-mode parquet.
+  * IS that service; offline it lands in per-batch parquet directories.
+  *
+  * Exactly-once across failures — the standard foreachBatch recipe,
+  * tested by StreamingSpec's kill/restart case:
+  *  1. the checkpoint replays an uncommitted epoch under the SAME
+  *     batch id after a crash/stop;
+  *  2. each batch lands under `table/batch=<id>` — an overwrite-mode
+  *     Sink makes the replay idempotent (a torn first write is simply
+  *     rewritten), exactly the Cassandra-upsert discipline;
+  *  3. [[graft.sources.KeyedUpsertSink]] adds deterministic per-key
+  *     last-writer-wins WITHIN the batch.
+  * Upstream dropDuplicates guarantees a key appears in only one epoch
+  * (within the watermark), so per-key exactly-once holds end-to-end.
+  * Readers see the union via partition discovery (`batch` becomes a
+  * partition column).
   *
   * Scale notes: dedup state is keyed by event_id and watermark-bounded;
   * foreachBatch batches are written by the executors that own them
-  * (no driver collection); checkpointing gives exactly-once per batch id
-  * against an idempotent sink.
+  * (no driver collection).
   */
 object IngestPipeline {
   def start(events: DataFrame, sink: Sink, table: String,
@@ -25,8 +38,8 @@ object IngestPipeline {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink.write(batch.drop("tstamp"), table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.write(batch.drop("tstamp"), s"$table/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()

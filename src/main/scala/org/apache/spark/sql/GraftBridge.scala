@@ -35,4 +35,10 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's name resolver (case-sensitive or not per
+    * spark.sql.caseSensitive) — custom operators resolve user-supplied
+    * column names with the same rule the analyzer uses. */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.resolver
 }

@@ -144,4 +144,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
       s"knn_per_label no longer uses the k-bounded physical operator:\n$p")
   }
+
+  test("bucketed fact-fact join plans with zero exchange") {
+    import graft.sources.BucketedParquetSink
+    import org.apache.spark.sql.functions.col
+    val sink = new BucketedParquetSink(4, Seq("k"))
+    sink.write(Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice")), "li_bkt")
+    sink.write(Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice")), "ord_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "k")
+      val expected = Tables.t(spark, sf, "lineitem")
+        .join(Tables.t(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected, "bucketed join changed the result")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles — write-time bucketing not used:\n$p")
+      assert(p.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
 }

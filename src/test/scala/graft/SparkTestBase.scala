@@ -13,6 +13,8 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${System.getProperty("user.name")}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -85,6 +85,42 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.size == n + 1)
   }
 
+  test("IngestPipeline kill/restart recovers from checkpoint exactly-once") {
+    // the reference's operational contract: stop ingestion mid-stream,
+    // restart from the checkpoint, and the keyed store still holds each
+    // key exactly once (epoch replay is idempotent: same batch id →
+    // same batch=<id> directory, overwritten)
+    val (dir, lateId, freshId, n) = stageChunks()
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val sinkRoot = freshDir()
+    val ckpt = s"${freshDir()}/ckpt"
+    val sink = new graft.sources.KeyedUpsertSink(
+      new graft.sources.ParquetSink(sinkRoot), Seq("event_id"), "ts_us")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      graft.streaming.IngestPipeline.start(
+        graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema),
+        sink, "events_raw", ckpt)
+    // phase 1: stop as soon as the first micro-batch has committed —
+    // with 3 chunks at maxFilesPerTrigger=1 this lands mid-stream
+    val q1 = run()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.isActive && q1.recentProgress.isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    q1.awaitTermination(60000)
+    // phase 2: restart from the same checkpoint; AvailableNow drains the
+    // remaining (and any replayed) epochs
+    val q2 = run()
+    q2.awaitTermination(120000)
+    val ids = spark.read.parquet(s"$sinkRoot/events_raw")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.toSet.size,
+      s"${ids.length - ids.toSet.size} duplicate keys after recovery")
+    assert(ids.toSet.size == n + 1,
+      s"expected ${n + 1} distinct keys, got ${ids.toSet.size}")
+    assert(!ids.contains(lateId) && ids.contains(freshId))
+  }
+
   test("streaming tumbling windows equal batch counts (append mode)") {
     val (dir, _, _, _) = stageChunks(withLate = false)
     val schema = spark.read.parquet(s"$dir/chunk1").schema
