@@ -36,13 +36,15 @@ object EtlOps {
       val blocks = t(s, d, "orders").select(
         col("o_orderkey").as("l_orderkey"),
         (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
-      // 3) derived exchange-rates dim: one deterministic rate per period
-      val rates = blocks.select(col("ym")).distinct()
-        .withColumn("rate_pct", lit(100) + pmod(col("ym"), lit(7)))
-      // 4) explode → join header → broadcast-join rates → 5) rollup
+      // 3) per-period exchange rate: a deterministic pure function of
+      // the period key, evaluated in-stream — the r3 form materialized
+      // it as blocks.distinct + broadcast join, paying a second orders
+      // scan for a dim that is derivable; a genuinely EXTERNAL rates
+      // table would broadcast-join exactly like join_multiway's dims
+      // 4) explode → join header → derive rate → 5) rollup
       nested.select(col("l_orderkey"), explode(col("txs")).as("tx"))
         .join(blocks, "l_orderkey")
-        .join(broadcast(rates), "ym")
+        .withColumn("rate_pct", lit(100) + pmod(col("ym"), lit(7)))
         .groupBy(col("ym"))
         .agg(count(lit(1)).as("txs"),
           (sum(col("tx.price") * col("rate_pct")).cast("double") / lit(100.0))

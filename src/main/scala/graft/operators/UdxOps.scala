@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** SURVEY §2.10 extensibility surface: scalar UDF, typed Aggregator UDAF,
-  * generator (UDTF via built-in explode(sequence) — the custom `Generator`
-  * Catalyst extension point is documented in SURVEY §7.5, not needed here).
+  * generator (UDTF) in both forms — built-in explode(sequence)
+  * (`udtf_generate`) and a custom Catalyst `Generator`
+  * ([[graft.functions.ShingleGenerator]], `udtf_shingle_gen`), completing
+  * the extension ladder.
   *
   * Scale/cost notes: the scalar UDF blocks codegen and pushdown — it is
   * deliberately the ONLY black-box function in the library, and the same
@@ -103,7 +105,20 @@ object UdxOps {
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           explode(sequence(lit(1), col("l_linenumber"))).as("i"))
-        .orderBy("l_orderkey", "l_linenumber", "i")))
+        .orderBy("l_orderkey", "l_linenumber", "i")),
+
+    // custom Generator end-to-end: the analyzer's ExtractGenerator plans
+    // it into Spark's own Generate node, exactly like explode — then the
+    // usual 2-phase agg tops the shingle counts
+    "udtf_shingle_gen" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.GraftBridge
+      val sh = GraftBridge.column(graft.functions.ShingleGenerator(
+        GraftBridge.expression(col("text")), 5))
+      t(s, d, "documents")
+        .select(sh.as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("shingle")).limit(30)
+    }))
 
   private val DecimalType16 = org.apache.spark.sql.types.DecimalType(16, 0)
 
@@ -131,5 +146,11 @@ object UdxOps {
     "udtf_generate" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "CAST(unnest(generate_series(1, l_linenumber)) AS INTEGER) AS i " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber, i"))
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, i"),
+    "udtf_shingle_gen" ->
+      ("SELECT shingle, count(*) AS cnt FROM (" +
+        "SELECT unnest(list_transform(range(1, length(text) - 3), " +
+        "i -> substr(text, i, 5))) AS shingle " +
+        "FROM documents WHERE length(text) >= 5) " +
+        "GROUP BY shingle ORDER BY cnt DESC, shingle LIMIT 30"))
 }
