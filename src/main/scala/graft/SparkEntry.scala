@@ -6,9 +6,10 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
   * and §7 (build plan). Every key below is one §2 row; every key with a
   * deterministic ANSI-SQL formulation also appears in [[oracleSql]] for
-  * the driver's DuckDB hash-compare. The 5 ⊘ keys (agg_approx_distinct,
-  * dedup_minhash, text_fingerprint, knn_ann_srp, knn_ivf — sketch/LSH/IVF internals
-  * differ across engines) are covered by in-repo tests instead (SURVEY §5).
+  * the driver's DuckDB hash-compare. The 6 ⊘ keys (agg_approx_distinct,
+  * agg_approx_percentile, dedup_minhash, text_fingerprint, knn_ann_srp,
+  * knn_ivf — sketch/LSH/IVF internals differ across engines) are covered
+  * by in-repo tests instead (SURVEY §5).
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -21,7 +22,7 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FnOps.queries ++
       TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries ++
       MultimodalOps.queries ++ TextAnalysisOps.queries ++
-      SimilarityOps.queries ++ EtlOps.queries
+      SimilarityOps.queries ++ EtlOps.queries ++ PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,5 @@ object SparkEntry {
       WindowOps.oracle ++ SortSetOps.oracle ++ FnOps.oracle ++
       TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle ++
       MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
-      SimilarityOps.oracle ++ EtlOps.oracle
+      SimilarityOps.oracle ++ EtlOps.oracle ++ PipelineOps.oracle
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data pipeline composites (driver north star, r4): the
+  * operations a corpus-curation run chains ON TOP of the per-document
+  * primitives — deterministic dataset splitting, the dedup → quality
+  * gate → per-language budget mix, and sketch-based quantiles for the
+  * profiling pass that precedes them.
+  *
+  * Scale notes (100 TB):
+  *  - `sample_split_hash`: split assignment is a pure map-side integer
+  *    expression of the stable document id — no sampling state, no
+  *    shuffle, and REINGESTION-STABLE: re-running the pipeline (or
+  *    adding data) never moves an existing document across splits,
+  *    which is what makes train/test contamination auditable. (A
+  *    `rand()`-based split is both nondeterministic and
+  *    partition-order dependent — never acceptable here.)
+  *  - `pipe_training_mix`: exact dedup (keyed reduce) → per-row quality
+  *    gate (codegen'd expressions, map-side) → per-language top-K by
+  *    quality (one shuffle on lang; the window sorts only gated
+  *    survivors — at larger K·languages the TopKPerGroup physical
+  *    operator is the drop-in k-bounded form) → language-sized summary.
+  *    Every stage's cardinality is non-increasing; the wide ops all
+  *    key on `lang`, so AQE skew-splits a dominant language.
+  *  - `agg_approx_percentile`: Spark's GK-sketch percentile — the
+  *    profiling-pass quantile when the exact form's full sort/shuffle
+  *    would dominate; mergeable partial sketches, one row per group
+  *    out. ⊘ approximate (in-repo accuracy test vs the exact
+  *    percentile; sketch internals differ across engines).
+  */
+object PipelineOps {
+  private val SplitMod = 1009 // prime << doc-id range; no 64-bit overflow
+  private val TopKPerLang = 100
+  private val QualityGate = 0.5
+
+  val queries: Map[String, QFn] = Map(
+    "sample_split_hash" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .withColumn("b",
+          pmod(pmod(col("doc_id"), lit(SplitMod)) * 31 + 7, lit(100)))
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "split")),
+
+    "pipe_training_mix" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      // 1) exact dedup: deterministically keep the min doc id per
+      //    canonical text (same discipline as dedup_exact)
+      val keep = docs
+        .select(md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // 2) quality gate on the surviving docs
+      val gated = docs.join(keep, "doc_id")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("quality", TextAnalysisOps.qualityCol)
+        .where(col("quality") >= QualityGate)
+      // 3) per-language budget: top-K docs by quality (total order via
+      //    doc_id tie-break), then an int-exact per-language summary
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      gated.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopKPerLang)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          min(col("quality")).as("min_quality"))
+        .orderBy("lang")
+    }),
+
+    // ⊘ approximate — no oracle; accuracy vs exact percentile in-repo.
+    "agg_approx_percentile" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("p50_qty"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_price"))
+        .orderBy("l_returnflag")))
+
+  val oracle: Map[String, String] = Map(
+    "sample_split_hash" ->
+      (s"SELECT lang, CASE WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 80 " +
+        s"THEN 'train' WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 90 " +
+        "THEN 'val' ELSE 'test' END AS split, count(*) AS cnt " +
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, split"),
+    "pipe_training_mix" ->
+      ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        "GROUP BY md5(lower(trim(text)))), " +
+        // unqualified text/n_chars resolve against documents (keep only
+        // carries doc_id), so the shared quality SQL drops in verbatim
+        "gated AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        TextAnalysisOps.qualitySql + " AS quality " +
+        "FROM documents JOIN keep USING (doc_id)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY quality DESC, doc_id) AS rn FROM gated " +
+        s"WHERE quality >= $QualityGate) " +
+        "SELECT lang, count(*) AS kept, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "min(quality) AS min_quality " +
+        s"FROM r WHERE rn <= $TopKPerLang GROUP BY lang ORDER BY lang"))
+}

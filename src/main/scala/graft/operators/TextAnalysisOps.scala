@@ -111,12 +111,27 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }))
 
-  private val alphaSql =
+  private[operators] val alphaSql =
     "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars"
-  private val stopSql =
+  private[operators] val stopSql =
     "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(" +
       Stops.mkString("['", "', '", "']") + ", w))) AS DOUBLE) / " +
       "len(string_split(text, ' '))"
+
+  /** The text_quality composite score as a reusable Column (identical
+    * arithmetic to the `text_quality` key; PipelineOps reuses it). */
+  private[operators] def qualityCol: Column = {
+    val toks = split(col("text"), " ")
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / col("n_chars")
+    val stop = size(filter(toks, w => w.isInCollection(Stops)))
+      .cast("double") / size(toks)
+    round6(lit(0.5) * alpha + lit(0.5) * (lit(1.0) - stop))
+  }
+
+  /** Oracle-side mirror of [[qualityCol]]. */
+  private[operators] val qualitySql: String =
+    oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
     "text_quality" ->

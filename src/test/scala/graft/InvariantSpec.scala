@@ -35,6 +35,23 @@ class InvariantSpec extends SparkTestBase {
     assert(SparkEntry.queries("dedup_cluster_cc")(spark, sf).count() > 0)
   }
 
+  test("agg_approx_percentile within 5% of the exact percentile") {
+    import graft.Tables.t
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = t(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 <= 0.05, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("agg_approx_distinct within 5% of exact (rsd=0.05)") {
     import graft.Tables.t
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
