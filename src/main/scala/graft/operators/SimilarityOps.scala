@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** Embedding-similarity operators beyond brute-force kNN (driver north
@@ -116,28 +117,54 @@ object SimilarityOps {
         .orderBy("a", "b")),
 
     // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
-    // ExtOpsSpec. Each vector is assigned to its nearest of nlist=16
-    // centroids (argmax of dot, first index on ties — deterministic); the
-    // query probes its nprobe=6 best cells and brute-forces only those.
-    // 100 TB path: `cell` is the write-time partition/bucket key, so a
-    // probe is partition pruning — the scan touches nprobe/nlist of the
-    // corpus; assignment itself is embarrassingly parallel map-side work
-    // against literal (broadcast) centroids with zero shuffle.
+    // ExtOpsSpec. r4: centroids are TRAINED (one Lloyd step over the
+    // seeded assignment — the r3 "trained centroids" stub made real),
+    // entirely in DataFrame ops: per-cell per-dimension means accumulate
+    // in exact DECIMAL (double sums are partition-order nondeterministic,
+    // SURVEY §7.3.2), are L2-normalized, and flow as a 16-row broadcast
+    // dim — no driver collect anywhere. Every vector is then reassigned
+    // to its nearest trained centroid via a 2-phase max-of-struct argmax
+    // (deterministic tie-break on cell id), the query probes its nprobe=6
+    // best cells, and only those cells' vectors are exact-ranked.
+    // 100 TB path: the trained `cell` is the write-time partition/bucket
+    // key, so a probe is partition pruning — the scan touches
+    // nprobe/nlist of the corpus; training cost is one explode +
+    // (cell × dim)-sized agg per refresh, amortized across every query.
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      val cells = emb
+      // pass 0: seeded data-independent assignment (map-side)
+      val cells0 = emb
         .withColumn("cds", centroidDots(col("embedding")))
         .withColumn("cell", expr("array_position(cds, array_max(cds))"))
-      val q = cells.where(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("cds").as("qds"))
-      // candidate iff the query ranks this vector's cell within its top
-      // nprobe centroids: fewer than nprobe of the query's centroid dots
-      // strictly beat the dot to this cell's centroid
-      cells.where(col("vec_id") =!= 0)
+      // one Lloyd step: exact-decimal per-cell means, L2-normalized
+      val means = cells0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("tcell"),
+          expr("transform(pm, p -> p.m)").as("raw"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(raw, 0D, (a, x) -> a + x * x)")))
+        .select(col("tcell"),
+          expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("cvec"))
+      // reassign: nearest trained centroid, 2-phase argmax (no window)
+      val scored = emb.crossJoin(broadcast(means))
+        .withColumn("cd", dot(col("embedding"), col("cvec")))
+      val assign = scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cd"), (-col("tcell")).as("nt"))).as("best"))
+        .select(col("vec_id").as("av"), (-col("best.nt")).as("acell"))
+      // the query's top-nprobe trained cells
+      val qcells = scored.where(col("vec_id") === 0)
+        .orderBy(col("cd").desc, col("tcell")).limit(IvfNprobe)
+        .select(col("tcell").as("qcell"))
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.where(col("vec_id") =!= 0)
+        .join(assign, col("vec_id") === col("av"))
+        .join(broadcast(qcells), col("acell") === col("qcell"), "leftsemi")
         .crossJoin(broadcast(q))
-        .where(size(filter(col("qds"),
-          x => x > element_at(col("qds"), col("cell").cast("int"))))
-          < IvfNprobe)
         .select(col("vec_id"),
           round6(dot(col("embedding"), col("qe"))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
