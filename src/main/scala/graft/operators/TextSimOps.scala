@@ -191,18 +191,22 @@ object TextSimOps {
     val pairs = exactWordPairs(s, d, TauPct).select(col("da"), col("db"))
     val docs = t(s, d, "documents").select(col("doc_id"))
     // both edge directions from ONE pass over the pair subtree (a
-    // union of two selects would execute it twice), and an EXPLICIT
-    // repartition so the static edges subtree ends in an exchange:
-    // every round's plan contains that identical exchange, ReuseExchange
-    // dedups them, and the expensive pair generation runs ONCE for all
-    // rounds instead of once per round
+    // union of two selects would execute it twice), then the ONE
+    // deliberate materialization in the library: every round references
+    // `edges`, and leaving it as a lazy subtree re-executes the entire
+    // pair generation once per round whenever exchange/stage reuse
+    // declines to dedup the 11 identical copies (measured: 20 s → 53 s
+    // run-to-run at sf0.1 purely on that reuse lottery). localCheckpoint
+    // pins the computed edge list on the executors — exactly what
+    // GraphX does per iteration; on a cluster with lineage-loss
+    // concerns, swap for a reliable checkpoint directory
     val edges = pairs
       .select(explode(array(
         struct(col("da").as("ev"), col("db").as("eu")),
         struct(col("db").as("ev"), col("da").as("eu")))).as("e"))
       .select(col("e.ev").as("ev"), col("e.eu").as("eu"))
       .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
-      .repartition(col("eu"))
+      .localCheckpoint(false)
     // every round references the running assignment exactly ONCE — Spark
     // performs no CSE across self-joins, so a pointer-jumping shape
     // (assign ⋈ assign) would re-execute the upstream 3^rounds times
