@@ -45,7 +45,7 @@ object SimilarityOps {
     * ia < ib, off-diagonal tasks keep everything (sides are disjoint
     * blocks) and normalize (a, b) by least/greatest — sound because
     * every downstream use (dot product) is symmetric in the pair. */
-  private[operators] def tiledPairs(emb: DataFrame,
+  private[graft] def tiledPairs(emb: DataFrame,
       grp: Seq[String]): DataFrame = {
     val ss = emb.sparkSession
     import ss.implicits._

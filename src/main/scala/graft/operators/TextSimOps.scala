@@ -89,13 +89,11 @@ object TextSimOps {
       .agg(sort_array(collect_set(xxhash64(col("w")))).as("wh"))
       .withColumn("c", size(col("wh")))
 
-  /** Prefix-posting rows for prefix filtering at τ = tauPct/100: one
-    * slim row per (doc, prefix token) with the token's per-doc rank in
-    * the global (df, w) order and the doc's token count. One shuffle
-    * (by doc_id, the window); the df dictionary is vocabulary-sized
-    * (a (token, count) table), hence broadcast. */
-  private def docPrefix(s: SparkSession, d: String,
-      tauPct: Int): DataFrame = {
+  /** Full posting rows (doc_id, token, per-doc rank in the global
+    * (df, w) order, doc token count) — the substrate of prefix
+    * filtering. One shuffle (by doc_id, the window); the df dictionary
+    * is vocabulary-sized (a (token, count) table), hence broadcast. */
+  private def docRanked(s: SparkSession, d: String): DataFrame = {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .distinct()
@@ -106,9 +104,15 @@ object TextSimOps {
     tok.join(broadcast(dfreq), "w")
       .withColumn("rnk", row_number().over(ord))
       .withColumn("c", count(lit(1)).over(full).cast("int"))
-      .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
       .select(col("doc_id"), col("w"), col("rnk"), col("c"))
   }
+
+  /** Prefix-posting rows for prefix filtering at τ = tauPct/100: the
+    * first c − ⌈τ·c⌉ + 1 ranked tokens of each document. */
+  private def docPrefix(s: SparkSession, d: String,
+      tauPct: Int): DataFrame =
+    docRanked(s, d)
+      .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
 
   /** Exact word-level Jaccard pairs at τ = tauPct/100 — identical output
     * to the all-pairs formulation, computed as PREFIX FILTERING
@@ -263,6 +267,39 @@ object TextSimOps {
 
     "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       exactWordPairs(s, d, TauPct).orderBy("da", "db")),
+
+    // Containment (subset-dup) detection — the dedup case symmetric
+    // Jaccard misses: a short document swallowed by a longer one.
+    // C(x→y) = |x∩y| / |x| ≥ 95% over ORDERED pairs (x contained in y).
+    // Same prefix-filter machinery, asymmetric: o ≥ τ·|x| only binds
+    // x's side, so candidates are x-PREFIX postings ⋈ y-FULL postings
+    // (a length band only one way: |y| can't be smaller than the
+    // required overlap), with the positional filter valid at the first
+    // shared token as in exactWordPairs. Exact verification via the
+    // fingerprint merge scan; threshold in single-occurrence form is
+    // direct here (inter ≥ ⌈τ·ca⌉ references inter once already).
+    "sim_containment_pairs" -> ((s: SparkSession, d: String) => {
+      val tau = 95
+      val x = docPrefix(s, d, tau).select(col("doc_id").as("da"), col("w"),
+        col("rnk").as("ra"), col("c").as("ca"))
+      val y = docRanked(s, d).select(col("doc_id").as("db"),
+        col("w").as("wy"), col("rnk").as("rb"), col("c").as("cb"))
+      val cand = x.join(y, col("w") === col("wy") && col("da") =!= col("db") &&
+          lit(100) * col("cb") >= lit(tau) * col("ca") &&
+          (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
+            lit(100) >= lit(tau) * col("ca"))
+        .select(col("da"), col("db")).distinct()
+      val dt = docTokens(s, d)
+      cand
+        .join(broadcast(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
+          col("c").as("ca"))), "da")
+        .join(broadcast(dt.select(col("doc_id").as("db"),
+          col("wh").as("wb"))), "db")
+        .withColumn("inter", interCount(col("wa"), col("wb")))
+        .where(lit(100) * col("inter") >= lit(tau) * col("ca"))
+        .select(col("da"), col("db"), col("inter"), col("ca"))
+        .orderBy("da", "db")
+    }),
 
     // Connected-component clustering over the near-dup pair graph — the
     // step a dedup pipeline runs after pair generation (keep one doc per
@@ -438,6 +475,17 @@ object TextSimOps {
         "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
         "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    "sim_containment_pairs" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id <> b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT da, db, CAST(inter AS INTEGER) AS inter, " +
+        "CAST(ca.c AS INTEGER) AS ca " +
+        "FROM ip JOIN cnt ca ON da = ca.doc_id " +
+        "WHERE 100 * inter >= 95 * ca.c ORDER BY da, db"),
     "dedup_cluster_cc" ->
       ("WITH RECURSIVE " +
         "tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import graft.functions.{ShingleGenerator, SortedIntersectCount}
+
+/** r4 rewrite equivalence on RANDOM data (seeded), beyond the shipped
+  * corpus: the prefix-filter candidate stage must lose NO qualifying
+  * pair (the recall-1 lemma, checked empirically), the tiled block
+  * self-join must enumerate exactly the unordered pair set, the sorted
+  * merge intersect must equal the builtin, and the custom Generator
+  * must equal its declarative formulation. These guard the claims the
+  * graded corpus alone cannot (its vocabulary and similarity structure
+  * are degenerate).
+  */
+class RewriteEquivalenceSpec extends SparkTestBase {
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("prefix-filtered exact Jaccard equals brute force on random corpora") {
+    val ss = spark
+    import ss.implicits._
+    for (trial <- 1 to 3) {
+      val vocabSize = Seq(15, 80, 400)(trial - 1) // tiny → realistic
+      val n = 250
+      // half fresh random docs, half near-dup perturbations of earlier
+      // docs (drop or add one word) so every trial has qualifying pairs
+      val base = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      val docs = (0L until n).map { id =>
+        val words =
+          if (id >= 2 && id % 2 == 1) {
+            val src = base(rnd.nextInt(base.length))
+            if (rnd.nextBoolean() && src.length > 1) src.drop(1)
+            else src :+ s"w${rnd.nextInt(vocabSize)}"
+          } else Seq.fill(10 + rnd.nextInt(8))(s"w${rnd.nextInt(vocabSize)}")
+        base += words
+        (id, words.mkString(" "))
+      }
+      val dir = Files.createTempDirectory(s"graft_pfx$trial").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = operators.TextSimOps.exactWordPairs(spark, dir, 90)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3))).toSet
+      // brute force over all pairs, same integer threshold arithmetic
+      val sets = docs.map { case (id, text) => id -> text.split(" ").toSet }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size; uni = sa.size + sb.size - inter
+        if 100 * inter >= 90 * uni
+      } yield (a, b, inter, uni)).toSet
+      assert(got == want,
+        s"trial $trial (vocab $vocabSize): missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"trial $trial degenerate (no qualifying pairs)")
+      // same corpus, asymmetric containment (ordered pairs, τ = 95%)
+      val gotC = SparkEntry.queries("sim_containment_pairs")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3))).toSet
+      val wantC = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        inter = (sa & sb).size
+        if inter > 0 && 100 * inter >= 95 * sa.size
+      } yield (a, b, inter, sa.size)).toSet
+      assert(gotC == wantC,
+        s"containment trial $trial: missing=${(wantC -- gotC).take(5)} " +
+          s"extra=${(gotC -- wantC).take(5)}")
+      assert(wantC.nonEmpty, s"containment trial $trial degenerate")
+    }
+  }
+
+  test("tiledPairs enumerates every unordered pair exactly once") {
+    val ss = spark
+    import ss.implicits._
+    val emb = (0L until 150).map { id =>
+      (id, Array.fill(4)(rnd.nextFloat()), s"lab${id % 3}")
+    }.toDF("vec_id", "embedding", "label")
+    val flat = operators.SimilarityOps.tiledPairs(emb, Seq.empty)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flat.length == flat.distinct.length, "duplicate pairs")
+    assert(flat.toSet == (for (a <- 0L until 150; b <- a + 1 until 150)
+      yield (a, b)).toSet)
+    val byLabel = operators.SimilarityOps.tiledPairs(emb, Seq("label"))
+      .select("label", "a", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byLabel.length == byLabel.distinct.length)
+    assert(byLabel.toSet == (for {
+      a <- 0L until 150; b <- a + 1 until 150 if a % 3 == b % 3
+    } yield (s"lab${a % 3}", a, b)).toSet)
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) — longs and strings") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq.fill(300) {
+      def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("xa", "xb")
+      .withColumn("sa", expr("transform(xa, v -> concat('t', v))"))
+      .withColumn("sb", expr("transform(xb, v -> concat('t', v))"))
+      // string arrays sorted by STRING order (t10 < t2), as callers do
+      .withColumn("sa", sort_array(col("sa")))
+      .withColumn("sb", sort_array(col("sb")))
+    def ic(a: String, b: String) = GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(col(a)), GraftBridge.expression(col(b))))
+    val bad = df.select(
+      ic("xa", "xb").as("gl"), size(array_intersect(col("xa"), col("xb"))).as("wl"),
+      ic("sa", "sb").as("gs"), size(array_intersect(col("sa"), col("sb"))).as("ws"))
+      .where(col("gl") =!= col("wl") || col("gs") =!= col("ws"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("ShingleGenerator equals the declarative transform(sequence) form") {
+    val ss = spark
+    import ss.implicits._
+    val texts = Seq("", "ab", "abcde", "abcdef", "hello world spark") ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(30))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+    val df = texts.toDF("text")
+    val gen = df.select(GraftBridge.column(ShingleGenerator(
+      GraftBridge.expression(col("text")), 5)).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val decl = df.select(explode(expr(
+      "CASE WHEN length(text) >= 5 THEN transform(sequence(1, " +
+        "length(text) - 4), i -> substring(text, i, 5)) " +
+        "ELSE CAST(array() AS array<string>) END")).as("sh"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(gen == decl, s"${gen.length} vs ${decl.length}")
+  }
+}
