@@ -106,6 +106,43 @@ object SimilarityOps {
   private def centroidDots(v: Column): Column =
     array(ivfCentroids.map(c => dot(v, typedLit(c))): _*)
 
+  /** Trained IVF centroids (one Lloyd step over the seeded assignment):
+    * per-cell per-dimension means in exact DECIMAL (deterministic —
+    * double sums are partition-order dependent), L2-normalized, as a
+    * ≤nlist-row (tcell, cvec) dim table for broadcast. */
+  private[graft] def ivfMeans(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("cds", centroidDots(col("embedding")))
+      .withColumn("cell", expr("array_position(cds, array_max(cds))"))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("tcell"),
+        expr("transform(pm, p -> p.m)").as("raw"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(raw, 0D, (a, x) -> a + x * x)")))
+      .select(col("tcell"),
+        expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("cvec"))
+
+  /** Nearest-trained-centroid per vector from a (vec_id, tcell, cd)
+    * scored frame: 2-phase max-of-struct argmax (no window), tie-broken
+    * deterministically to the smallest cell id. → (vec_id, cell). */
+  private[graft] def ivfArgmax(scored: DataFrame): DataFrame =
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cd"), (-col("tcell")).as("nt"))).as("best"))
+      .select(col("vec_id"), (-col("best.nt")).as("cell"))
+
+  /** The write-time IVF layout key: every vector's trained cell —
+    * partitioning/bucketing `embeddings` by this column makes an
+    * nprobe-cell query a PARTITION-PRUNED scan (asserted in
+    * SourceSinkSpec), the claim behind knn_ivf's 100 TB story. */
+  private[graft] def ivfAssignment(emb: DataFrame): DataFrame =
+    ivfArgmax(emb.crossJoin(broadcast(ivfMeans(emb)))
+      .withColumn("cd", dot(col("embedding"), col("cvec"))))
+
   val queries: Map[String, QFn] = Map(
     // exact all-pairs cosine threshold — tiled (see object scaladoc for
     // why LSH candidate generation cannot apply at τ = 0.3 on this data
@@ -132,30 +169,11 @@ object SimilarityOps {
     // (cell × dim)-sized agg per refresh, amortized across every query.
     "knn_ivf" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      // pass 0: seeded data-independent assignment (map-side)
-      val cells0 = emb
-        .withColumn("cds", centroidDots(col("embedding")))
-        .withColumn("cell", expr("array_position(cds, array_max(cds))"))
-      // one Lloyd step: exact-decimal per-cell means, L2-normalized
-      val means = cells0
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("tcell"),
-          expr("transform(pm, p -> p.m)").as("raw"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(raw, 0D, (a, x) -> a + x * x)")))
-        .select(col("tcell"),
-          expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("cvec"))
-      // reassign: nearest trained centroid, 2-phase argmax (no window)
+      val means = ivfMeans(emb)
       val scored = emb.crossJoin(broadcast(means))
         .withColumn("cd", dot(col("embedding"), col("cvec")))
-      val assign = scored.groupBy(col("vec_id"))
-        .agg(max(struct(col("cd"), (-col("tcell")).as("nt"))).as("best"))
-        .select(col("vec_id").as("av"), (-col("best.nt")).as("acell"))
+      val assign = ivfArgmax(scored)
+        .select(col("vec_id").as("av"), col("cell").as("acell"))
       // the query's top-nprobe trained cells
       val qcells = scored.where(col("vec_id") === 0)
         .orderBy(col("cd").desc, col("tcell")).limit(IvfNprobe)

@@ -78,6 +78,27 @@ class SourceSinkSpec extends SparkTestBase {
       "no partition filter in scan")
   }
 
+  test("IVF layout: partitioning by trained cell gives partition-pruned probes") {
+    import org.apache.spark.sql.functions.input_file_name
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val assigned = emb.join(
+      operators.SimilarityOps.ivfAssignment(emb), "vec_id")
+    val root = tmp()
+    new PartitionedParquetSink(root, Seq("cell")).write(assigned, "emb_ivf")
+    // probe 3 cells — the scan must touch ONLY those partition dirs
+    val probed = spark.read.parquet(s"$root/emb_ivf")
+      .where(col("cell").isin(1, 5, 9))
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty, "probe read no files — empty cells?")
+    assert(files.forall(f => Seq(1, 5, 9).exists(c => f.contains(s"cell=$c/"))),
+      s"probe touched non-probed partitions: ${files.filterNot(f =>
+        Seq(1, 5, 9).exists(c => f.contains(s"cell=$c/"))).take(3).mkString(", ")}")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter in probe scan:\n$plan")
+  }
+
   test("batch flatMapGroupsWithState sessionize matches gaps-and-islands " +
     "minus each user's final (still-open) session") {
     import org.apache.spark.sql.Encoders
