@@ -84,7 +84,49 @@ object PipelineOps {
             .as("p50_qty"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
             .as("p90_price"))
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // Heavy hitters (tokens with frequency > n/k) — the bounded-memory
+    // candidate + exact-recount pattern: phase 1 runs Misra-Gries with
+    // k counters PER PARTITION (mapPartitions, O(k) memory however many
+    // rows stream through — the guarantee: any token with global
+    // frequency > n/k exceeds its local n_p/k in at least one
+    // partition, so the union of per-partition survivors contains every
+    // true hitter); phase 2 exactly recounts ONLY the ≤ k·partitions
+    // candidates and applies the threshold. The OUTPUT is therefore
+    // exact and partitioning-independent (candidate-set variation can
+    // only add non-hitters, which the exact threshold removes) — which
+    // is why this key is oracled even though a sketch runs inside. At
+    // 100 TB the full groupBy(token) this replaces is a
+    // vocabulary-sized shuffle; the MG pass ships ≤ k rows/partition.
+    "agg_heavy_hitters" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val k = 50
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cands = tok.as[String].mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { w =>
+          counters.get(w) match {
+            case Some(c) => counters(w) = c + 1
+            case None if counters.size < k => counters(w) = 1L
+            case None => // decrement-all step (amortized O(1) per row)
+              val dead = List.newBuilder[String]
+              counters.foreach { case (key, c) =>
+                if (c == 1L) dead += key else counters(key) = c - 1 }
+              dead.result().foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }.toDF("w").distinct()
+      val total = tok.groupBy().agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cands), "w")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .where(col("cnt") * k > col("n"))
+        .select(col("w"), col("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "sample_split_hash" ->
@@ -107,5 +149,12 @@ object PipelineOps {
         "SELECT lang, count(*) AS kept, " +
         "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
         "min(quality) AS min_quality " +
-        s"FROM r WHERE rn <= $TopKPerLang GROUP BY lang ORDER BY lang"))
+        s"FROM r WHERE rn <= $TopKPerLang GROUP BY lang ORDER BY lang"),
+    "agg_heavy_hitters" ->
+      ("WITH tokc AS (SELECT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM tokc), " +
+        "c AS (SELECT w, count(*) AS cnt FROM tokc GROUP BY w) " +
+        "SELECT w, cnt FROM c, tot WHERE cnt * 50 > n " +
+        "ORDER BY cnt DESC, w"))
 }
