@@ -179,6 +179,24 @@ object TextSimOps {
         (col("ca") + col("cb") - col("inter")).as("uni"))
   }
 
+  /** Per-row MinHash band keys (doc_id, band, bkey) — the dedup_minhash
+    * banding (4 bands × 2 seeded-xxhash64 rows) computed WITHOUT any
+    * aggregation: a document is one row, so each signature component is
+    * `aggregate(array_distinct(split(text)), MAX_LONG, least ∘ xxhash64)`
+    * — a pure map-side expression (duplicates can't change a min, so
+    * array_distinct is optional but keeps the fold short). Stream-safe
+    * by construction: the same column expressions run unchanged on a
+    * streaming DataFrame (used by both the batch `stream_neardup` key
+    * and the Structured Streaming form in NearDupStream). */
+  private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
+    def h(i: Int): Column = expr(
+      "aggregate(array_distinct(split(text, ' ')), " +
+        s"CAST(${Long.MaxValue} AS BIGINT), (a, x) -> least(a, xxhash64(x, $i)))")
+    docs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        xxhash64(h(2 * b), h(2 * b + 1))): _*)).as(Seq("band", "bkey")))
+  }
+
   private val CcRounds = 10
 
   /** Min-label propagation CC over the near-dup pair graph (see the
@@ -371,6 +389,29 @@ object TextSimOps {
         Seq(("cos", false), ("a", true), ("b", true)), 3)
         .select(col("label"), col("a"), col("b"), col("cos"))
         .orderBy(col("label"), col("cos").desc, col("a"), col("b"))
+    }),
+
+    // ⊘ streaming-ingest near-dup — no oracle (DuckDB has no xxhash64);
+    // equivalence with the Structured Streaming form (NearDupStream,
+    // first-seen-wins keyed state) is proven by chunked replay in
+    // StreamingSpec. Batch semantics: a document survives ingest iff it
+    // is the FIRST arrival (min doc_id = arrival order) in EVERY one of
+    // its MinHash band buckets — i.e. what a streaming dedup-on-ingest
+    // with per-bucket state keeps. All map-side expressions + one
+    // (band, bucket)-keyed agg; never a pair join at all — this is the
+    // cheapest member of the dedup family and the one an ingestion
+    // service runs inline.
+    "stream_neardup" -> ((s: SparkSession, d: String) => {
+      val bk = bandRowsOf(t(s, d, "documents"))
+      val first = bk.groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("first"))
+      bk.join(first, Seq("band", "bkey"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("first") === col("doc_id"), 0)
+          .otherwise(1)).as("coll"))
+        .where(col("coll") === 0)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }),
 
     "multimodal_join" -> ((s: SparkSession, d: String) =>

@@ -121,6 +121,49 @@ class StreamingSpec extends SparkTestBase {
     assert(!ids.contains(lateId) && ids.contains(freshId))
   }
 
+  test("streaming near-dup ingest equals the batch stream_neardup key") {
+    // chronological replay of the documents table in doc_id-ordered
+    // chunks; the streaming first-seen-wins bucket state must admit
+    // exactly the docs the batch formulation (first = min doc_id per
+    // band bucket) keeps
+    val ss = spark
+    import ss.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = freshDir()
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    Seq(h1, h2).zipWithIndex.foreach { case (rows, i) =>
+      val f = new java.io.File(dir, s"chunk$i")
+      rows.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(f.toString)
+      val ts = System.currentTimeMillis() - 60000 + i * 2000L
+      f.listFiles().foreach(_.setLastModified(ts))
+      f.setLastModified(ts)
+    }
+    val schema = spark.read.parquet(s"$dir/chunk0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val hits = graft.streaming.NearDupStream.bucketHits(
+      operators.TextSimOps.bandRowsOf(stream)
+        .as[graft.streaming.NearDupStream.BandRow])
+    val q = hits.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedKept = spark.table("neardup_out")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("collided").cast("int")).as("c"))
+      .where("c = 0").collect().map(_.getLong(0)).toSet
+    val batchKept = SparkEntry.queries("stream_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedKept == batchKept,
+      s"stream-only=${(streamedKept -- batchKept).take(5)} " +
+        s"batch-only=${(batchKept -- streamedKept).take(5)}")
+    assert(batchKept.nonEmpty && batchKept.size < docs.length,
+      s"degenerate: kept ${batchKept.size} of ${docs.length}")
+  }
+
   test("streaming tumbling windows equal batch counts (append mode)") {
     val (dir, _, _, _) = stageChunks(withLate = false)
     val schema = spark.read.parquet(s"$dir/chunk1").schema
