@@ -142,6 +142,35 @@ object AggOps {
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_d"))
         .orderBy("l_returnflag")),
 
+    // Exact second-moment statistics (r4): mean / var_samp / stddev are
+    // normally un-oracle-able — both engines' builtin stddev folds
+    // doubles in merge order, so the result is partition-order
+    // nondeterministic AND engine-divergent. The determinism policy
+    // (DESIGN §2.1) extends to second moments: accumulate Σx and Σx²
+    // EXACTLY in DECIMAL (x is DECIMAL(18,2), x² is DECIMAL(37,4) —
+    // overflow-free by corpus domain), assemble the numerator
+    // n·Σx² − (Σx)² exactly, and perform ONE decimal→double cast
+    // followed by pure IEEE division/sqrt — bit-identical across
+    // engines and partitionings. Same 2-phase hash-agg plan shape as
+    // every other aggregate (the decimal sums have map-side partials).
+    "agg_stats_exact" -> ((s: SparkSession, d: String) => {
+      val x = dec2(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"),
+          sum(x * x).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round6(col("sx").cast("double") / col("n")).as("mean"),
+          round6((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n").cast("double") * (col("n") - 1))).as("var_samp"),
+          round6(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n").cast("double") * (col("n") - 1)))).as("stddev"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot with an explicit value list (the only scale-sane form: an
     // implicit list means a pre-pass distinct over the pivot column).
     "agg_pivot" -> ((s: SparkSession, d: String) =>
@@ -193,6 +222,19 @@ object AggOps {
         "FILTER (WHERE l_quantity > 25) AS DOUBLE), " +
         "CAST(0 AS DOUBLE)) AS sum_hi " +
         "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "agg_stats_exact" ->
+      ("WITH s AS (SELECT l_returnflag, count(*) AS n, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        oRound6("CAST(sx AS DOUBLE) / n") + " AS mean, " +
+        oRound6("CAST(n * sxx - sx * sx AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * (n - 1))") + " AS var_samp, " +
+        oRound6("sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * (n - 1)))") + " AS stddev " +
+        "FROM s ORDER BY l_returnflag"),
     "agg_rollup" -> cubeSql("ROLLUP(l_returnflag, l_linestatus)"),
     "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
     "agg_grouping_sets" -> cubeSql(
