@@ -171,6 +171,34 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Two-column second moments, same exact-decimal discipline as
+    // agg_stats_exact: covariance and Pearson correlation from exact
+    // Σx, Σy, Σxy, Σx², Σy², with the double-typed finish written in
+    // ONE fixed shape (cast → sqrt → multiply → divide) both engines
+    // execute identically. Builtin corr()/covar_samp() are
+    // merge-order-dependent double folds — un-oracle-able.
+    "agg_corr_exact" -> ((s: SparkSession, d: String) => {
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round6((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n").cast("double") * (col("n") - 1))).as("covar_samp"),
+          round6((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot with an explicit value list (the only scale-sane form: an
     // implicit list means a pre-pass distinct over the pivot column).
     "agg_pivot" -> ((s: SparkSession, d: String) =>
@@ -234,6 +262,24 @@ object AggOps {
           "(CAST(n AS DOUBLE) * (n - 1))") + " AS var_samp, " +
         oRound6("sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / " +
           "(CAST(n AS DOUBLE) * (n - 1)))") + " AS stddev " +
+        "FROM s ORDER BY l_returnflag"),
+    "agg_corr_exact" ->
+      ("WITH s AS (SELECT l_returnflag, count(*) AS n, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS sxx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        oRound6("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * (n - 1))") + " AS covar_samp, " +
+        oRound6("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))") + " AS corr " +
         "FROM s ORDER BY l_returnflag"),
     "agg_rollup" -> cubeSql("ROLLUP(l_returnflag, l_linestatus)"),
     "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
