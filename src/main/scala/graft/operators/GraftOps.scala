@@ -15,12 +15,14 @@ object GraftOps {
     * columns should form a total order for deterministic results.
     *
     * Memory bound: each pass holds one ≤k-row heap PER DISTINCT GROUP
-    * seen in a partition, on-heap and without a spill path (unlike
-    * ObjectHashAggregateExec's sort-based fallback) — so per-task
-    * memory is O(groups-per-partition × k × row size). Right for
-    * many-rows-per-group workloads (the operator's purpose); for
-    * group cardinalities approaching the partition's row count, use
-    * the window formulation (win_topk_group), which sorts and spills. */
+    * seen in a partition — O(groups-per-partition × k × row size) —
+    * and when that retained-row count exceeds
+    * `spark.graft.topk.fallbackRows` (default 4M) the partition
+    * switches to a spilling external sort on (group, order) and streams
+    * first-k-per-group from the sorted run (the ObjectHashAggregateExec
+    * discipline), so high group cardinality degrades to sort cost
+    * instead of OOM. The `numSortFallbacks` SQL metric counts
+    * partitions that switched. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(groupCols.nonEmpty,

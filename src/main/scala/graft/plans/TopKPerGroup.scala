@@ -1,13 +1,18 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression,
-  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BindReferences, Expression, RowOrdering, SortOrder, SortPrefix,
+  UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Whole-operator extension (SURVEY §4 recipe c — the rung below custom
   * Expressions): top-k rows per group as a first-class physical operator,
@@ -81,19 +86,35 @@ case class TopKPerGroupExec(
     * same keys) reuse the exchange instead of inserting a second one. */
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  /** Memory bound: the per-partition heap map holds ≤ k rows per
-    * DISTINCT group key seen in that partition, on-heap, with no spill
-    * or sort-based fallback (ObjectHashAggregateExec has one; this
-    * operator targets many-rows-per-group inputs where groups ≪ rows).
-    * Callers with partition-level group cardinality approaching the
-    * row count should use the window formulation instead — documented
-    * on [[graft.operators.GraftOps.topKPerGroup]]. */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numSortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "partitions that fell back to external sort"))
+
+  /** Memory bound and the escape hatch: the per-partition heap map holds
+    * ≤ k rows per DISTINCT group key seen in that partition, on-heap —
+    * right for the many-rows-per-group inputs this operator targets. If
+    * group cardinality per partition is high enough that the retained
+    * rows exceed `spark.graft.topk.fallbackRows` (default 4M), the
+    * partition switches to a spilling external sort on (group, order)
+    * and streams the first k rows of each group from the sorted run —
+    * the same discipline as ObjectHashAggregateExec's sort fallback, so
+    * no input can OOM the task. Rows already evicted by a heap lost to
+    * ≥ k better rows that ARE in the sorter, so the switch is exact.
+    * (If a group type is not orderable the fallback is impossible; such
+    * types are not orderable by groupBy either, so this cannot arise via
+    * the public [[graft.operators.GraftOps.topKPerGroup]] API.) */
   override protected def doExecute(): RDD[InternalRow] = {
     val gExprs = groupExprs
     val ord = ordering
     val out = child.output
     val limit = k
     val emitSorted = !partial
+    val fallbackRows = conf.getConfString(
+      "spark.graft.topk.fallbackRows", "4194304").toLong
+    val canFallback = RowOrdering.isOrderable(gExprs)
+    val schema = StructType(out.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val numSortFallbacks = longMetric("numSortFallbacks")
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(gExprs, out)
       // lt(a, b) == "a ranks strictly better than b"
@@ -102,7 +123,9 @@ case class TopKPerGroupExec(
       // a full heap admits a new row by evicting its head
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      var retained = 0L
+      var overflow = false
+      while (iter.hasNext && !overflow) {
         val row = iter.next()
         val key = groupProj(row)
         var heap = heaps.get(key)
@@ -110,23 +133,84 @@ case class TopKPerGroupExec(
           heap = scala.collection.mutable.PriorityQueue.empty(rowOrd)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (rowOrd.lt(row, heap.head)) {
+        if (heap.size < limit) {
+          heap.enqueue(row.copy())
+          retained += 1
+          overflow = canFallback && retained > fallbackRows
+        } else if (rowOrd.lt(row, heap.head)) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext) {
-            val rows = groups.next().toArray
-            current =
-              if (emitSorted) rows.sorted(rowOrd).iterator else rows.iterator
+      if (!overflow) {
+        val groups = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && groups.hasNext) {
+              val rows = groups.next().toArray
+              current =
+                if (emitSorted) rows.sorted(rowOrd).iterator else rows.iterator
+            }
+            current.hasNext
           }
-          current.hasNext
+          override def next(): InternalRow = current.next()
         }
-        override def next(): InternalRow = current.next()
+      } else {
+        numSortFallbacks += 1
+        // External (spilling) sort on group-cluster ++ rank order, then a
+        // single streaming pass emitting the first k rows of each group.
+        // Same sorter wiring as SortExec: radix-eligible prefix on the
+        // leading key, full-row comparator for ties.
+        val sortOrder = gExprs.map(SortOrder(_, Ascending)) ++ ord
+        val sortOrd = RowOrdering.create(sortOrder, out)
+        val boundHead = BindReferences.bindReference(sortOrder.head, out)
+        val prefixExpr = SortPrefix(boundHead)
+        val prefixProj = UnsafeProjection.create(Seq(prefixExpr))
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            val p = prefixProj(row)
+            result.isNull = p.isNullAt(0)
+            result.value =
+              if (result.isNull) prefixExpr.nullValue else p.getLong(0)
+            result
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, sortOrd,
+          org.apache.spark.sql.execution.SortPrefixUtils
+            .getPrefixComparator(boundHead),
+          prefixComputer, SparkEnv.get.memoryManager.pageSizeBytes,
+          /* canUseRadixSort = */ false)
+        val toUnsafe = UnsafeProjection.create(out, out)
+        def insert(r: InternalRow): Unit = r match {
+          case u: UnsafeRow => sorter.insertRow(u)
+          case other => sorter.insertRow(toUnsafe(other))
+        }
+        heaps.values().forEach(h => h.foreach(insert))
+        heaps.clear()
+        while (iter.hasNext) insert(iter.next())
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var prevKey: UnsafeRow = null
+          private var emitted = 0
+          private var pending: InternalRow = null
+          override def hasNext: Boolean = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = groupProj(row)
+              if (prevKey == null || key != prevKey) {
+                prevKey = key.copy(); emitted = 0
+              }
+              if (emitted < limit) { emitted += 1; pending = row }
+            }
+            pending != null
+          }
+          override def next(): InternalRow = {
+            val r = pending; pending = null; r
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -107,6 +107,45 @@ class PlanSpec extends SparkTestBase {
     assert(top1 == Seq(("a", 2), ("b", 1), ("c", 9), ("d", 1)), s"got $top1")
   }
 
+  test("topKPerGroup falls back to a spilling sort past the retained-row cap") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // High group cardinality (5000 groups × 4 rows): the heap map would
+    // retain ~one row per group — exactly the shape ADVICE r3 flagged as
+    // an OOM risk. With the cap forced low, every partition must switch
+    // to the external-sort path and still return the exact answer.
+    val df = (1 to 20000).map(i => (i % 5000, i, (i * 37 % 101).toDouble))
+      .toDF("g", "id", "v").repartition(3)
+    spark.conf.set("spark.graft.topk.fallbackRows", "100")
+    try {
+      val out = operators.GraftOps.topKPerGroup(
+        df, Seq("g"), Seq(("v", false), ("id", true)), 2)
+      val got = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      // AQE wraps every stage (incl. the result stage since Spark 4) in
+      // leaf QueryStageExec nodes — recurse through them to the execs
+      def execs(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[plans.TopKPerGroupExec] = p.collect {
+        case e: plans.TopKPerGroupExec => Seq(e)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          execs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          execs(q.plan)
+      }.flatten
+      val found = execs(out.queryExecution.executedPlan)
+      assert(found.nonEmpty, "no TopKPerGroupExec in the executed plan")
+      val fallbacks = found.map(_.metrics("numSortFallbacks").value).sum
+      assert(fallbacks > 0, "no partition took the sort fallback")
+      val expected = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got == expected,
+        s"fallback path diverged: ${got.size} vs ${expected.size} rows")
+    } finally spark.conf.unset("spark.graft.topk.fallbackRows")
+  }
+
   test("topKPerGroup merges -0.0 and 0.0 group keys like GROUP BY does") {
     val ss = spark
     import ss.implicits._
