@@ -199,6 +199,24 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Latest-row-per-key (argmax) without a window: max over a struct
+    // whose leading fields are the order (date, unique orderkey) compares
+    // lexicographically, so one 2-phase hash aggregate — partial maxes
+    // map-side, |keys| rows through the shuffle — replaces WindowExec's
+    // full shuffle+sort of every row. The canonical "keep the newest
+    // version of each key" ingestion op (KeyedUpsertSink's batch form).
+    // builtin max_by is tie-unstable; the struct carries the unique
+    // tie-break, so the payload is deterministic.
+    "agg_argmax" -> ((s: SparkSession, d: String) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderdate").as("last_date"),
+          col("m.o_orderkey").as("last_orderkey"),
+          col("m.o_totalprice").as("last_price"))
+        .orderBy("o_custkey")),
+
     // Pivot with an explicit value list (the only scale-sane form: an
     // implicit list means a pre-pass distinct over the pivot column).
     "agg_pivot" -> ((s: SparkSession, d: String) =>
@@ -281,6 +299,12 @@ object AggOps {
           "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
           "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))") + " AS corr " +
         "FROM s ORDER BY l_returnflag"),
+    "agg_argmax" ->
+      ("SELECT o_custkey, o_orderdate AS last_date, " +
+        "o_orderkey AS last_orderkey, o_totalprice AS last_price FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
+        "WHERE rn = 1 ORDER BY o_custkey"),
     "agg_rollup" -> cubeSql("ROLLUP(l_returnflag, l_linestatus)"),
     "agg_cube" -> cubeSql("CUBE(l_returnflag, l_linestatus)"),
     "agg_grouping_sets" -> cubeSql(

@@ -36,6 +36,7 @@ object PipelineOps {
   private val SplitMod = 1009 // prime << doc-id range; no 64-bit overflow
   private val TopKPerLang = 100
   private val QualityGate = 0.5
+  private val SamplePerLang = 50
 
   val queries: Map[String, QFn] = Map(
     "sample_split_hash" -> ((s: SparkSession, d: String) =>
@@ -48,6 +49,23 @@ object PipelineOps {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "split")),
+
+    // Deterministic stratified sampling: exactly K docs per language,
+    // chosen by md5-of-id rank — the scale-safe reservoir equivalent.
+    // Hash-rank selection is reingestion-stable like sample_split_hash
+    // (adding documents never changes whether an EXISTING doc with a
+    // smaller hash stays sampled ahead of it), and the TopKPerGroup
+    // physical operator bounds the shuffle to ≤K rows per (language ×
+    // input partition) — a rand()-reservoir needs driver state or a
+    // full sort; this is one bounded shuffle, any scale.
+    "sample_stratified" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      GraftOps.topKPerGroup(docs, Seq("lang"),
+          Seq(("h", true), ("doc_id", true)), SamplePerLang)
+        .orderBy("lang", "h")
+    }),
 
     "pipe_training_mix" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
@@ -134,6 +152,12 @@ object PipelineOps {
         s"THEN 'train' WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 90 " +
         "THEN 'val' ELSE 'test' END AS split, count(*) AS cnt " +
         "FROM documents GROUP BY 1, 2 ORDER BY lang, split"),
+    "sample_stratified" ->
+      ("SELECT lang, doc_id, h FROM (SELECT lang, doc_id, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS h, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
+        s"AS rn FROM documents) WHERE rn <= $SamplePerLang " +
+        "ORDER BY lang, h"),
     "pipe_training_mix" ->
       ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(lower(trim(text)))), " +

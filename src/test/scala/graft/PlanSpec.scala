@@ -107,6 +107,12 @@ class PlanSpec extends SparkTestBase {
     assert(top1 == Seq(("a", 2), ("b", 1), ("c", 9), ("d", 1)), s"got $top1")
   }
 
+  test("sample_stratified plans through the k-bounded TopKPerGroup execs") {
+    val p = plan("sample_stratified")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"stratified sampler should use the bounded-shuffle operator:\n$p")
+  }
+
   test("topKPerGroup falls back to a spilling sort past the retained-row cap") {
     val ss = spark
     import ss.implicits._
