@@ -197,17 +197,24 @@ object TextSimOps {
         xxhash64(h(2 * b), h(2 * b + 1))): _*)).as(Seq("band", "bkey")))
   }
 
-  private val CcRounds = 10
+  private val CcRounds = 6
 
-  /** Min-label propagation CC over the near-dup pair graph (see the
-    * `dedup_cluster_cc` entry below for the design notes). Exposed with
-    * a round-count parameter so InvariantSpec can prove convergence
-    * (round N == round N+1 under monotone min-propagation). With
-    * `checked = true` the plan appends ONE guard round and raises at
-    * runtime if any label still changed — an unconverged clustering can
-    * never be silently emitted; the guard costs one extra round (the
-    * shared round-N prefix of both subtrees is deduplicated by
-    * ReuseExchange), not a re-execution blow-up. */
+  /** Min-label CC over the near-dup pair graph (see the
+    * `dedup_cluster_cc` entry below for the design notes). Each round is
+    * propagate (min label over the 1-hop neighborhood) THEN shortcut
+    * (pointer jump, l ← l(l(v))), so converged-radius roughly DOUBLES
+    * per round and the budget needed is O(log diameter), not O(diameter)
+    * — plain propagation's Achilles heel on exactly the corpus this
+    * operator targets: drop-one-word near-dup CHAINS, whose diameter
+    * grows with corpus size. 6 rounds cover diameter ≈ 2⁶ vs plain
+    * propagation's 6. Exposed with a round-count parameter so
+    * InvariantSpec can prove convergence (round N == round N+1 under
+    * monotone min-propagation). With `checked = true` the plan appends
+    * ONE guard PROPAGATE round and raises at runtime if any label still
+    * changed — stationarity under propagate implies labels are constant
+    * per component and each component's constant is its min member id
+    * (l(v) ≤ v always), so an unconverged or wrong clustering can never
+    * be silently emitted. */
   private[graft] def clusterCC(s: SparkSession, d: String,
       rounds: Int, checked: Boolean = false): DataFrame = {
     val pairs = exactWordPairs(s, d, TauPct).select(col("da"), col("db"))
@@ -229,16 +236,29 @@ object TextSimOps {
       .select(col("e.ev").as("ev"), col("e.eu").as("eu"))
       .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
       .localCheckpoint(false)
-    // every round references the running assignment exactly ONCE — Spark
-    // performs no CSE across self-joins, so a pointer-jumping shape
-    // (assign ⋈ assign) would re-execute the upstream 3^rounds times
+    // propagate references the running assignment exactly ONCE — Spark
+    // performs no CSE across self-joins, so the shortcut's assign ⋈
+    // assign shape would re-execute the whole upstream 3^rounds times if
+    // left lazy; pinning each round's propagate output with
+    // localCheckpoint gives both join branches the SAME cached RDD
+    // (vertex-count-sized, MEMORY_AND_DISK — GraphX's per-iteration
+    // materialization), so the doubling trick costs one tiny cache per
+    // round instead of an exponential plan
     def step(a: DataFrame): DataFrame = edges
       .join(a.select(col("v").as("eu2"), col("l").as("nl")),
         col("eu") === col("eu2"))
       .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
       .select(col("ev").as("v"), col("mn").as("l"))
+    // shortcut: l ← l(l(v)). Labels are always member ids (l(v) ≤ v,
+    // same component), so the label-to-vertex join is total.
+    def jump(a: DataFrame): DataFrame = {
+      val p = a.localCheckpoint(false)
+      p.join(p.select(col("v").as("v2"), col("l").as("l2")),
+          col("l") === col("v2"))
+        .select(col("v"), col("l2").as("l"))
+    }
     var assign = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
-    for (_ <- 1 to rounds) assign = step(assign)
+    for (_ <- 1 to rounds) assign = jump(step(assign))
     if (!checked) {
       assign.select(col("v").as("doc_id"), col("l").as("cluster"))
         .orderBy("doc_id")

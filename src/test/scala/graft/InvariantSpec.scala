@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
 class InvariantSpec extends SparkTestBase {
 
   test("dedup_cluster_cc reaches the fixpoint within its round budget") {
-    // min-propagation is monotone, so round N == round N+1 proves the
-    // fixpoint was reached — the declared 10-round result IS the exact CC
-    val at10 = operators.TextSimOps.clusterCC(spark, sf, 10)
+    // min-propagation (+ pointer jump) is monotone, so round N == round
+    // N+1 proves the fixpoint was reached — the declared 6-round result
+    // IS the exact CC
+    val at6 = operators.TextSimOps.clusterCC(spark, sf, 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val at11 = operators.TextSimOps.clusterCC(spark, sf, 11)
+    val at7 = operators.TextSimOps.clusterCC(spark, sf, 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(at10 == at11, "label propagation had not converged after 10 rounds")
+    assert(at6 == at7, "label propagation had not converged after 6 rounds")
     // every cluster representative is a member of its own cluster
-    val reps = at10.map(_._2).toSet
-    assert(reps.subsetOf(at10.map(_._1).toSet))
+    val reps = at6.map(_._2).toSet
+    assert(reps.subsetOf(at6.map(_._1).toSet))
   }
 
   test("dedup_cluster_cc convergence guard raises on an exhausted budget") {
@@ -31,7 +32,7 @@ class InvariantSpec extends SparkTestBase {
       operators.TextSimOps.clusterCC(spark, sf, 1, checked = true).collect()
     }
     assert(chain(e).contains("not converged"), chain(e))
-    // …and the declared 10-round budget passes the same guard
+    // …and the declared 6-round budget passes the same guard
     assert(SparkEntry.queries("dedup_cluster_cc")(spark, sf).count() > 0)
   }
 
