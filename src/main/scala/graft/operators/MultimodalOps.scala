@@ -89,6 +89,45 @@ object MultimodalOps {
         }
       }(Encoders.row(frameSchema))
       sampled.orderBy("doc_id", "frame_idx")
+    }),
+
+    // Frame-level content dedup across the whole corpus — the video/image
+    // analog of exact text dedup: fingerprint every fixed-size frame,
+    // keep the FIRST occurrence (global (doc_id, frame_idx) order) of
+    // each distinct frame, report per-document how many of its frames
+    // were duplicates of an earlier one. Frames here are character
+    // slices (the decode kernel is the documented stand-in); the dedup
+    // plumbing is the real thing: fingerprints — never frame payloads —
+    // cross the one shuffle (window keyed by the frame hash), and the
+    // per-doc rollup is a second, doc-keyed agg. At 100 TB the md5
+    // becomes a perceptual hash and nothing else changes.
+    "mm_frame_dedup" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val frames = docs.select(col("doc_id"), col("text"),
+        explode(expr(
+          s"CASE WHEN length(text) >= 1 THEN sequence(0, " +
+            s"cast(ceil(length(text) / ${FrameBytes}.0) as int) - 1) " +
+            "ELSE CAST(array() AS array<int>) END")).as("fi"))
+        .select(col("doc_id"), col("fi").cast("long").as("fi"),
+          md5(expr(s"substring(text, fi * $FrameBytes + 1, $FrameBytes)"))
+            .as("h"))
+      val rn = row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "fi"))
+      val per = frames.withColumn("rn", rn)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long")
+            .as("dup_frames"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          coalesce(col("dup_frames"), lit(0L)).as("dup_frames"),
+          round6(when(coalesce(col("n_frames"), lit(0L)) > 0,
+            col("dup_frames").cast("double") / col("n_frames"))
+            .otherwise(lit(0.0))).as("dup_frac"))
+        .orderBy("doc_id")
     }))
 
   // head_sum oracle is byte-based to mirror the kernel exactly (DuckDB
@@ -123,5 +162,23 @@ object MultimodalOps {
         s"j -> ${oByteAt("j")})), 0) AS BIGINT) AS checksum " +
         "FROM documents, LATERAL (SELECT unnest(range(0, " +
         s"CAST(ceil(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT))) AS fi) u " +
-        s"WHERE fi % $SampleEvery = 0 ORDER BY doc_id, frame_idx"))
+        s"WHERE fi % $SampleEvery = 0 ORDER BY doc_id, frame_idx"),
+    "mm_frame_dedup" -> oFrameDedup)
+
+  private lazy val oFrameDedup: String =
+    "WITH f AS (SELECT doc_id, fi, " +
+      s"md5(substr(text, CAST(fi * $FrameBytes + 1 AS INTEGER), $FrameBytes)) AS h " +
+      "FROM documents, LATERAL (SELECT unnest(range(0, " +
+      s"CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT))) AS fi) u), " +
+      "r AS (SELECT doc_id, fi, row_number() OVER (PARTITION BY h " +
+      "ORDER BY doc_id, fi) AS rn FROM f), " +
+      "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, " +
+      "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_frames " +
+      "FROM r GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(n_frames, 0) AS n_frames, " +
+      "coalesce(dup_frames, 0) AS dup_frames, " +
+      oRound6("CASE WHEN coalesce(n_frames, 0) > 0 " +
+        "THEN CAST(dup_frames AS DOUBLE) / n_frames ELSE 0.0 END") +
+      " AS dup_frac " +
+      "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"
 }

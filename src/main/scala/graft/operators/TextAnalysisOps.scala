@@ -109,7 +109,87 @@ object TextAnalysisOps {
         sh(col("text"), 0).as("fp_full"),
         sh(col("text"), 8).as("fp_min8"))
         .orderBy("doc_id")
+    }),
+
+    // Within-document repetition signals (the Gopher/MassiveText filter
+    // family): duplicate word-{2,3}-gram fraction and the most-frequent
+    // 2-gram's share — the standard "is this boilerplate / degenerate
+    // repetition" quality gates. Shape: explode n-grams + two-phase hash
+    // agg per n, join the two doc-sized summaries — the shuffle carries
+    // (doc, gram, partial count), never the text, and every stat is an
+    // exact integer until the final single division (round6'd).
+    "text_repetition" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      def gramStats(n: Int) = docs
+        .select(col("doc_id"), explode(grams(n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as(s"n$n"),
+          count(lit(1)).as(s"d$n"), max(col("c")).as(s"mx$n"))
+      def frac(num: Column, den: Column): Column =
+        round6(when(coalesce(den, lit(0L)) > 0,
+          num.cast("double") / den).otherwise(lit(0.0)))
+      docs.select(col("doc_id"))
+        .join(gramStats(2), Seq("doc_id"), "left")
+        .join(gramStats(3), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("d2"), lit(0L)).as("d2"),
+          frac(col("n2") - col("d2"), col("n2")).as("dup2_frac"),
+          frac(col("mx2"), col("n2")).as("top2_frac"),
+          coalesce(col("n3"), lit(0L)).as("n3"),
+          coalesce(col("d3"), lit(0L)).as("d3"),
+          frac(col("n3") - col("d3"), col("n3")).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document shared-span detection (the word-level miniature of
+    // exact-substring training-data dedup, Lee et al.'s "Deduplicating
+    // Training Data Makes Language Models Better" shape): for each doc,
+    // how many of its distinct word 3-gram spans occur in ≥2 documents.
+    // Shape: distinct (doc, span) postings → span-keyed doc-frequency agg
+    // → posting⋈df equi-join → per-doc agg; every stage is a shuffle
+    // equi-join/agg on the span key (AQE-skew-splittable), the pair space
+    // is never enumerated, and at open scale the span string becomes its
+    // 64-bit hash (same counts; the string form here keeps the DuckDB
+    // oracle exact).
+    "dedup_span_shared" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val spans = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+        .distinct()
+      val dfreq = spans.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      val per = spans.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+            .as("shared_spans"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("shared_spans"), lit(0L)).as("shared_spans"),
+          round6(when(coalesce(col("n_spans"), lit(0L)) > 0,
+            col("shared_spans").cast("double") / col("n_spans"))
+            .otherwise(lit(0.0))).as("shared_frac"))
+        .orderBy("doc_id")
     }))
+
+  /** Word n-gram array of `text` (space-joined, overlapping), empty for
+    * docs with < n tokens — Spark's sequence() DESCENDS for end < start,
+    * so the short-doc guard is mandatory (same trap as sim_ngram_jaccard). */
+  private def grams(n: Int): Column = expr(
+    s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+      s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))) " +
+      "ELSE CAST(array() AS array<string>) END")
+
+  /** Oracle-side mirror of [[grams]]: 1-based list indexing, range() is
+    * end-exclusive and already empty for short docs. */
+  private def oGrams(n: Int): String = {
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"SELECT doc_id, $parts AS g FROM tk, " +
+      s"LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) u"
+  }
 
   private[operators] val alphaSql =
     "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars"
@@ -167,5 +247,37 @@ object TextAnalysisOps {
         "bits AS (SELECT doc_id, i, sum(cnt * (2 * ((h >> i) & 1) - 1)) AS wsum " +
         "FROM th, (SELECT unnest(range(0, 60)) AS i) ii GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << i) " +
-        "ELSE 0 END) AS BIGINT) AS fp FROM bits GROUP BY doc_id ORDER BY doc_id"))
+        "ELSE 0 END) AS BIGINT) AS fp FROM bits GROUP BY doc_id ORDER BY doc_id"),
+    "text_repetition" -> {
+      def agg(n: Int) =
+        s"c$n AS (SELECT doc_id, g, count(*) AS c FROM (${oGrams(n)}) GROUP BY 1, 2), " +
+          s"a$n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n$n, " +
+          s"CAST(count(*) AS BIGINT) AS d$n, CAST(max(c) AS BIGINT) AS mx$n " +
+          s"FROM c$n GROUP BY 1)"
+      def frac(num: String, den: String) = oRound6(
+        s"CASE WHEN coalesce($den, 0) > 0 THEN CAST($num AS DOUBLE) / $den " +
+          "ELSE 0.0 END")
+      "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        agg(2) + ", " + agg(3) + " " +
+        "SELECT d.doc_id, coalesce(n2, 0) AS n2, coalesce(d2, 0) AS d2, " +
+        frac("n2 - d2", "n2") + " AS dup2_frac, " +
+        frac("mx2", "n2") + " AS top2_frac, " +
+        "coalesce(n3, 0) AS n3, coalesce(d3, 0) AS d3, " +
+        frac("n3 - d3", "n3") + " AS dup3_frac " +
+        "FROM documents d LEFT JOIN a2 USING (doc_id) " +
+        "LEFT JOIN a3 USING (doc_id) ORDER BY doc_id"
+    },
+    "dedup_span_shared" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"sp AS (SELECT DISTINCT doc_id, g FROM (${oGrams(3)})), " +
+        "df AS (SELECT g, count(*) AS nd FROM sp GROUP BY g), " +
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans " +
+        "FROM sp JOIN df USING (g) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, " +
+        "coalesce(shared_spans, 0) AS shared_spans, " +
+        oRound6("CASE WHEN coalesce(n_spans, 0) > 0 " +
+          "THEN CAST(shared_spans AS DOUBLE) / n_spans ELSE 0.0 END") +
+        " AS shared_frac " +
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"))
 }

@@ -353,6 +353,26 @@ object TextSimOps {
     "dedup_cluster_cc" -> ((s: SparkSession, d: String) =>
       clusterCC(s, d, CcRounds, checked = true)),
 
+    // Canonical selection — the step a curation pipeline runs AFTER
+    // clustering: keep the highest-quality document per near-dup cluster
+    // (quality = the text_quality composite; doc_id tie-break), with the
+    // cluster size for audit. One agg keyed on cluster after the CC;
+    // max(struct(quality, -doc_id)) is an exact, merge-order-independent
+    // argmax — no window over the full corpus, the shuffle output is
+    // cluster-count-sized.
+    "dedup_keep_best" -> ((s: SparkSession, d: String) => {
+      val clusters = clusterCC(s, d, CcRounds)
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysisOps.qualityCol.as("quality"))
+      clusters.join(q, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"),
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("cluster"), (-col("best.nid")).as("keep_doc"),
+          col("best.quality").as("quality"), col("csize"))
+        .orderBy("cluster")
+    }),
+
     // n-gram (character 5-gram shingle) Jaccard: exact, over candidates
     // from the word-level prefix-filtered exact pairs at τ₁=95% — the
     // pair set the oracle defines; the per-pair shingle intersection is
@@ -514,6 +534,24 @@ object TextSimOps {
         .orderBy("da", "db")
     }))
 
+  /** Shared oracle CTE chain (no WITH/RECURSIVE header): the exact
+    * near-dup pair graph at [[TauPct]] and its connected components as
+    * `cc(doc_id, cluster)` — the ground truth for both clustering keys. */
+  private val oCcCte: String =
+    "tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+      "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+      "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT da, db FROM ip JOIN cnt ca ON da = ca.doc_id " +
+      "JOIN cnt cb ON db = cb.doc_id " +
+      s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter)), " +
+      "edges AS (SELECT da AS v, db AS u FROM pairs " +
+      "UNION ALL SELECT db AS v, da AS u FROM pairs), " +
+      "reach(v, l) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v), " +
+      "cc AS (SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v)"
+
   val oracle: Map[String, String] = Map(
     "text_tokenize" ->
       ("SELECT w, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w " +
@@ -548,21 +586,19 @@ object TextSimOps {
         "FROM ip JOIN cnt ca ON da = ca.doc_id " +
         "WHERE 100 * inter >= 95 * ca.c ORDER BY da, db"),
     "dedup_cluster_cc" ->
-      ("WITH RECURSIVE " +
-        "tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
-        "FROM documents), " +
-        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
-        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
-        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT da, db FROM ip JOIN cnt ca ON da = ca.doc_id " +
-        "JOIN cnt cb ON db = cb.doc_id " +
-        s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter)), " +
-        "edges AS (SELECT da AS v, db AS u FROM pairs " +
-        "UNION ALL SELECT db AS v, da AS u FROM pairs), " +
-        "reach(v, l) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v) " +
-        "SELECT v AS doc_id, min(l) AS cluster FROM reach GROUP BY v " +
-        "ORDER BY doc_id"),
+      ("WITH RECURSIVE " + oCcCte +
+        " SELECT doc_id, cluster FROM cc ORDER BY doc_id"),
+    "dedup_keep_best" ->
+      ("WITH RECURSIVE " + oCcCte + ", " +
+        "q AS (SELECT doc_id, " + TextAnalysisOps.qualitySql +
+        " AS quality FROM documents), " +
+        "j AS (SELECT cc.cluster, cc.doc_id, q.quality " +
+        "FROM cc JOIN q USING (doc_id)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster " +
+        "ORDER BY quality DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cluster) AS csize FROM j) " +
+        "SELECT cluster, doc_id AS keep_doc, quality, " +
+        "CAST(csize AS BIGINT) AS csize FROM r WHERE rn = 1 ORDER BY cluster"),
     "sim_ngram_jaccard" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +

@@ -119,4 +119,85 @@ class InvariantSpec extends SparkTestBase {
     val total = out.agg(sum("cnt")).collect()(0).getLong(0)
     assert(total == graft.Tables.events(spark, sf).count())
   }
+
+  test("dedup_keep_best keeps the max-quality member of every cluster") {
+    val clusters = SparkEntry.queries("dedup_cluster_cc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val quality = SparkEntry.queries("text_quality")(spark, sf)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val best = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+    // one row per cluster, sizes sum to |docs|
+    assert(best.map(_.getLong(0)).distinct.length == best.length)
+    assert(best.map(_.getLong(3)).sum == clusters.size)
+    best.foreach { r =>
+      val (cl, keep, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(clusters(keep) == cl, s"keep_doc $keep not in cluster $cl")
+      val members = clusters.collect { case (d, c) if c == cl => d }
+      val maxQ = members.map(quality).max
+      assert(q == maxQ, s"cluster $cl kept quality $q, max is $maxQ")
+      // doc_id tie-break: smallest doc among the max-quality members
+      assert(keep == members.filter(quality(_) == maxQ).min)
+    }
+  }
+
+  test("text_repetition: bounds hold and n2 matches the token count") {
+    val toks = SparkEntry.queries("text_token_count")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    SparkEntry.queries("text_repetition")(spark, sf).collect().foreach { r =>
+      val (id, n2, d2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (dup2, top2, n3, d3, dup3) = (r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))
+      assert(n2 == math.max(toks(id) - 1, 0) && n3 == math.max(toks(id) - 2, 0))
+      assert(d2 <= n2 && d3 <= n3)
+      Seq(dup2, top2, dup3).foreach(f => assert(f >= 0.0 && f <= 1.0))
+      if (n2 > 0) assert(top2 > 0.0)
+    }
+  }
+
+  test("dedup_span_shared matches a driver-side brute force") {
+    // small corpus: recompute every doc's span stats in plain Scala
+    val texts = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spansOf = texts.map { case (id, tx) =>
+      (id, tx.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet)
+    }.toMap
+    val docFreq = spansOf.values.flatten.toSeq
+      .groupBy(identity).map { case (g, xs) => (g, xs.size) }
+    val out = SparkEntry.queries("dedup_span_shared")(spark, sf).collect()
+    assert(out.length == texts.length)
+    var sharedSeen = false
+    out.foreach { r =>
+      val (id, n, sh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val exp = spansOf(id)
+      assert(n == exp.size, s"doc $id n_spans")
+      assert(sh == exp.count(docFreq(_) >= 2), s"doc $id shared_spans")
+      assert(sh <= n)
+      if (sh > 0) sharedSeen = true
+    }
+    assert(sharedSeen, "corpus exercises no cross-doc shared span")
+  }
+
+  test("mm_frame_dedup: frame accounting is exact") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val out = SparkEntry.queries("mm_frame_dedup")(spark, sf).collect()
+    // n_frames = ceil(len/16) per doc; globally, dups = frames - distinct
+    out.foreach { r =>
+      val (id, n, dup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n == (docs(id) + 15) / 16, s"doc $id frame count")
+      assert(dup <= n)
+    }
+    val distinctFrames = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), explode(expr(
+        "CASE WHEN length(text) >= 1 THEN sequence(0, " +
+          "cast(ceil(length(text) / 16.0) as int) - 1) " +
+          "ELSE CAST(array() AS array<int>) END")).as("fi"))
+      .select(expr("md5(substring(text, fi * 16 + 1, 16))").as("h"))
+      .distinct().count()
+    assert(out.map(_.getLong(2)).sum == out.map(_.getLong(1)).sum - distinctFrames)
+  }
 }
