@@ -185,7 +185,8 @@ class PlanSpec extends SparkTestBase {
     // CartesianProduct anywhere is the O(N²)-pair-space regression
     for (k <- Seq("sim_jaccard_pairs", "sim_ngram_jaccard",
         "dedup_cluster_cc", "dedup_embed", "knn_per_label",
-        "sim_containment_pairs")) {
+        "sim_containment_pairs", "dedup_keep_best", "dedup_span_shared",
+        "mm_frame_dedup")) {
       val p = plan(k)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
