@@ -80,7 +80,84 @@ object TimeOps {
           col("ts_us") < col("hwm") - 600L * 1000000L)
         .select(col("event_id"), col("user_id"), col("ts_us"), col("hwm"))
         .orderBy("event_id")
+    }),
+
+    // Resample + gap-fill — the time-series op every metrics/feature
+    // pipeline needs and plain groupBy(window) cannot produce: a DENSE
+    // per-user hourly grid (min..max observed bucket), count 0 on empty
+    // buckets, and the last observed `value` carried forward. Shape:
+    // 2-phase agg to per-(user, bucket) rows (argmax-by-(ts, event_id)
+    // struct max picks the bucket's last value exactly), a per-user
+    // min/max agg whose sequence() explode generates the grid MAP-SIDE
+    // (the grid never shuffles; it is born partitioned by user), a
+    // user+bucket equi-join, and one per-user window for the forward
+    // fill. No driver-side calendar, no cross join against a global
+    // spine — per-key grids stay proportional to each key's own span,
+    // which is what survives a 100 TB keyspace.
+    "window_gapfill" -> ((s: SparkSession, d: String) => {
+      val ev = events(s, d).withColumn("bk", expr(s"ts_us div $HourUs"))
+      val per = ev.groupBy(col("user_id"), col("bk"))
+        .agg(count(lit(1)).as("cnt"),
+          max(struct(col("ts_us"), col("event_id"), col("value")))
+            .getField("value").as("lv"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("bk")).as("b0"), max(col("bk")).as("b1"))
+        .select(col("user_id"),
+          explode(sequence(col("b0"), col("b1"))).as("bk"))
+      val w = Window.partitionBy("user_id").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(per, Seq("user_id", "bk"), "left")
+        .select(col("user_id"), col("bk"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("lv"), ignoreNulls = true).over(w).as("fill_v"))
+        .orderBy("user_id", "bk")
+    }),
+
+    // Interval-overlap self-join over session intervals — the join shape
+    // range/band predicates can't equi-key: pairs of DIFFERENT users
+    // whose sessions overlap in time. The scale design is GRID
+    // BUCKETING: each interval explodes to the hour buckets it touches
+    // (replication = interval span / bucket width, ≤ ~3 here), buckets
+    // equi-join (shuffle, AQE-skew-splittable — never the BNLJ a raw
+    // theta join plans), the true overlap predicate runs as a residual,
+    // and each qualifying pair is counted EXACTLY ONCE at the first
+    // bucket both intervals cover (bk == greatest(first-bucket-a,
+    // first-bucket-b)) — the O(1)-per-pair dedup that avoids a
+    // post-join distinct shuffle. Bucket width tracks the typical
+    // interval span (an order of magnitude either way only moves the
+    // replication/selectivity trade).
+    "join_interval_overlap" -> ((s: SparkSession, d: String) => {
+      val iv = sessionIvals(s, d)
+      def side(p: String) = iv.select(
+        col("user_id").as(s"u$p"), col("sid").as(s"s$p"),
+        col("s0").as(s"s0$p"), col("s1").as(s"s1$p"),
+        explode(sequence(expr(s"s0 div $HourUs"), expr(s"s1 div $HourUs")))
+          .as(s"bk$p"))
+      side("a").join(side("b"),
+          col("bka") === col("bkb") && col("ua") < col("ub") &&
+            col("s0a") <= col("s1b") && col("s0b") <= col("s1a") &&
+            col("bka") === greatest(expr(s"s0a div $HourUs"),
+              expr(s"s0b div $HourUs")))
+        .select(col("ua"), col("sa"), col("ub"), col("sb"),
+          (least(col("s1a"), col("s1b")) -
+            greatest(col("s0a"), col("s0b"))).as("ov_us"))
+        .orderBy("ua", "sa", "ub", "sb")
     }))
+
+  /** Session intervals (user_id, sid, s0, s1) — the gaps-and-islands
+    * sub-plan shared by window_session and join_interval_overlap. */
+  private def sessionIvals(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts_us") - col("prev") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("s0"), max(col("ts_us")).as("s1"))
+  }
 
   val oracle: Map[String, String] = Map(
     "window_tumbling" ->
@@ -112,5 +189,34 @@ object TimeOps {
         "(SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         "max(epoch_us(ts)) OVER (ORDER BY event_id ROWS BETWEEN " +
         "UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM events) " +
-        "WHERE hwm IS NOT NULL AND ts_us < hwm - 600000000 ORDER BY event_id"))
+        "WHERE hwm IS NOT NULL AND ts_us < hwm - 600000000 ORDER BY event_id"),
+    "window_gapfill" ->
+      (s"WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, " +
+        s"epoch_us(ts) // $HourUs AS bk FROM events), " +
+        "per AS (SELECT user_id, bk, CAST(count(*) AS BIGINT) AS cnt, " +
+        "(max(struct_pack(t := ts_us, e := event_id, v := value))).v AS lv " +
+        "FROM e GROUP BY 1, 2), " +
+        "rng AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM e GROUP BY 1), " +
+        "g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bk FROM rng) " +
+        "SELECT g.user_id, g.bk, coalesce(cnt, 0) AS cnt, " +
+        "last_value(lv IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.bk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS fill_v " +
+        "FROM g LEFT JOIN per ON g.user_id = per.user_id AND g.bk = per.bk " +
+        "ORDER BY g.user_id, g.bk"),
+    "join_interval_overlap" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR " +
+        "ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS sid FROM f), " +
+        "iv AS (SELECT user_id, CAST(sid AS BIGINT) AS sid, " +
+        "min(ts_us) AS s0, max(ts_us) AS s1 FROM s GROUP BY 1, 2) " +
+        "SELECT a.user_id AS ua, a.sid AS sa, b.user_id AS ub, b.sid AS sb, " +
+        "least(a.s1, b.s1) - greatest(a.s0, b.s0) AS ov_us " +
+        "FROM iv a JOIN iv b ON a.user_id < b.user_id " +
+        "AND a.s0 <= b.s1 AND b.s0 <= a.s1 " +
+        "ORDER BY ua, sa, ub, sb"))
 }

@@ -180,6 +180,45 @@ class InvariantSpec extends SparkTestBase {
     assert(sharedSeen, "corpus exercises no cross-doc shared span")
   }
 
+  test("join_interval_overlap matches the brute-force theta join") {
+    val iv = SparkEntry.queries("window_session")(spark, sf)
+      .select(col("user_id"), col("sid"), col("s_start").as("s0"),
+        (col("s_start") + col("dur_us")).as("s1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = (for {
+      a <- iv; b <- iv
+      if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._1, b._2,
+        math.min(a._4, b._4) - math.max(a._3, b._3))).sortBy(identity).toSeq
+    val got = SparkEntry.queries("join_interval_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("window_gapfill: grid is dense, fill matches last observation") {
+    val out = SparkEntry.queries("window_gapfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per user: contiguous buckets, first/last have data, gaps exist
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val bks = rows.map(_._2).sorted
+      assert(bks.zip(bks.tail).forall { case (x, y) => y == x + 1 })
+      assert(rows.minBy(_._2)._3 > 0 && rows.maxBy(_._2)._3 > 0)
+    }
+    assert(out.exists(_._3 == 0), "corpus exercises no gap")
+    // forward-fill: recompute from raw events
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    out.foreach { case (u, bk, cnt, fill) =>
+      val obs = byUser(u).filter(_._2 / 3600000000L <= bk)
+      val last = obs.maxBy(e => (e._2, e._3))
+      assert(fill == last._4, s"user $u bucket $bk fill")
+      assert(cnt == byUser(u).count(_._2 / 3600000000L == bk))
+    }
+  }
+
   test("mm_frame_dedup: frame accounting is exact") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), length(col("text")).as("len")).collect()

@@ -186,7 +186,7 @@ class PlanSpec extends SparkTestBase {
     for (k <- Seq("sim_jaccard_pairs", "sim_ngram_jaccard",
         "dedup_cluster_cc", "dedup_embed", "knn_per_label",
         "sim_containment_pairs", "dedup_keep_best", "dedup_span_shared",
-        "mm_frame_dedup")) {
+        "mm_frame_dedup", "join_interval_overlap")) {
       val p = plan(k)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
