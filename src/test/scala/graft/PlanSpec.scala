@@ -194,6 +194,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("global audit: no undeclared cartesian/nested-loop join in ANY key") {
+    // The O(N²) plan shapes are allowed ONLY where declared and bounded:
+    //  - join_cross: the deliberate 5×25 cartesian contract key
+    //  - join_range / join_theta_band: non-equi predicates against a
+    //    BROADCAST threshold/band table (linear in the fact side)
+    //  - knn_cosine / knn_ann_srp / knn_ivf: 1×N (query row) or ≤16×N
+    //    (centroid dim) broadcast attaches — constant-bounded side,
+    //    linear in the corpus
+    //  - agg_heavy_hitters: 1×N broadcast of the 1-row global count
+    //    (scalar attach for the n/k threshold)
+    val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
+      "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters")
+    val cartesianAllowed = Set("join_cross")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
+      val p = plan(k)
+      if (!bnljAllowed(k))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$k plans an undeclared BroadcastNestedLoopJoin")
+      if (!cartesianAllowed(k))
+        assert(!p.contains("CartesianProduct"),
+          s"$k plans an undeclared CartesianProduct")
+    }
+  }
+
   test("knn_per_label bounds the pair shuffle via TopKPerGroup execs") {
     val p = plan("knn_per_label")
     assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
