@@ -144,6 +144,32 @@ object PipelineOps {
         .where(col("cnt") * k > col("n"))
         .select(col("w"), col("cnt"))
         .orderBy(col("cnt").desc, col("w"))
+    }),
+
+    // Percentile-gated curation cut — the adaptive form of
+    // pipe_training_mix's fixed gate: each language keeps its own top
+    // quality quartile (threshold = that language's p75, NOT a global
+    // constant — the per-language calibration real curation runs use so
+    // a low-resource language isn't starved by a high-resource one's
+    // quality distribution). Profiling agg → language-count-sized
+    // threshold dim (broadcast) → map-side gate → summary agg; the
+    // corpus crosses exactly two lang-keyed shuffles. The threshold is
+    // round6'd BEFORE the comparison in both engines, so an
+    // interpolation ulp can never flip a boundary document.
+    "pipe_quality_cut" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("quality", TextAnalysisOps.qualityCol)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      val thr = docs.groupBy(col("lang"))
+        .agg(round6(expr("percentile(quality, 0.75)")).as("thr"),
+          count(lit(1)).as("n_docs"))
+      docs.join(broadcast(thr), "lang")
+        .where(col("quality") >= col("thr"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("thr")).as("thr"),
+          count(lit(1)).as("kept"), min(col("quality")).as("min_kept_q"),
+          sum(col("n_tokens")).cast("long").as("kept_tokens"))
+        .orderBy("lang")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +206,17 @@ object PipelineOps {
         "tot AS (SELECT count(*) AS n FROM tokc), " +
         "c AS (SELECT w, count(*) AS cnt FROM tokc GROUP BY w) " +
         "SELECT w, cnt FROM c, tot WHERE cnt * 50 > n " +
-        "ORDER BY cnt DESC, w"))
+        "ORDER BY cnt DESC, w"),
+    "pipe_quality_cut" ->
+      ("WITH q AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        TextAnalysisOps.qualitySql + " AS quality FROM documents), " +
+        "t AS (SELECT lang, " +
+        oRound6("quantile_cont(quality, 0.75)") + " AS thr, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM q GROUP BY lang) " +
+        "SELECT q.lang, max(n_docs) AS n_docs, max(thr) AS thr, " +
+        "count(*) AS kept, min(q.quality) AS min_kept_q, " +
+        "CAST(sum(q.n_tokens) AS BIGINT) AS kept_tokens " +
+        "FROM q JOIN t ON q.lang = t.lang WHERE q.quality >= t.thr " +
+        "GROUP BY q.lang ORDER BY q.lang"))
 }

@@ -206,6 +206,35 @@ object SimilarityOps {
         .select(col("vec_id"),
           round6(dot(col("embedding"), col("qe"))).as("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }),
+
+    // Int8 scalar quantization — the ANN storage-layout op: per vector,
+    // symmetric absmax scale (q = round-half-up(x/scale), scale =
+    // absmax/127) shrinks the 100 TB embedding store 4× before the IVF/
+    // SRP layouts above partition it. Pure map-side per-row expressions;
+    // exactness across engines holds because every step (float→double
+    // widening, one division, +0.5, floor) is the same correctly-rounded
+    // IEEE op on both sides — no libm, no engine rounding mode. Summary
+    // columns (exact integer q-sums, l1, max) rather than the raw
+    // arrays keep the contract row narrow; the arrays themselves are
+    // what a real pipeline writes.
+    "embed_quantize" -> ((s: SparkSession, d: String) => {
+      t(s, d, "embeddings")
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qs", expr(
+          "CASE WHEN amax = 0D THEN transform(embedding, " +
+            "x -> CAST(0 AS BIGINT)) " +
+            "ELSE transform(embedding, x -> CAST(floor(" +
+            "CAST(x AS DOUBLE) / (amax / 127.0D) + 0.5D) AS BIGINT)) END"))
+        .select(col("vec_id"),
+          round6(col("amax") / lit(127.0)).as("scale6"),
+          expr("aggregate(qs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .as("q_sum"),
+          expr("aggregate(qs, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+            .as("q_l1"),
+          expr("array_max(qs)").as("q_max"))
+        .orderBy("vec_id")
     }))
 
   private def oDot(a: String, b: String): String =
@@ -218,5 +247,19 @@ object SimilarityOps {
         oRound6(oDot("a.embedding", "b.embedding")) + " AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE " + oRound6(oDot("a.embedding", "b.embedding")) + " >= 0.3 " +
-        "ORDER BY a, b"))
+        "ORDER BY a, b"),
+    "embed_quantize" ->
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) " +
+        "AS amax FROM embeddings), " +
+        "q AS (SELECT vec_id, amax, CASE WHEN amax = 0 THEN " +
+        "list_transform(embedding, x -> CAST(0 AS BIGINT)) ELSE " +
+        "list_transform(embedding, x -> CAST(floor(" +
+        "CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) END AS qs " +
+        "FROM e) " +
+        "SELECT vec_id, " + oRound6("amax / 127.0") + " AS scale6, " +
+        "CAST(list_sum(qs) AS BIGINT) AS q_sum, " +
+        "CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1, " +
+        "CAST(list_max(qs) AS BIGINT) AS q_max " +
+        "FROM q ORDER BY vec_id"))
 }

@@ -219,6 +219,44 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_quality_cut keeps at least each language's top quartile") {
+    val rows = SparkEntry.queries("pipe_quality_cut")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, thr, kept, minQ) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(kept >= (nDocs + 3) / 4, s"kept $kept of $nDocs")
+      assert(kept <= nDocs)
+      assert(minQ >= thr, "a kept doc is below its language's threshold")
+    }
+  }
+
+  test("embed_quantize reconstructs within half a quantization step") {
+    import graft.Tables.t
+    val raw = t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val out = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    assert(out.length == raw.size)
+    out.foreach { r =>
+      val (id, scale6, qSum, qL1, qMax) = (r.getLong(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val x = raw(id).map(_.toDouble)
+      val amax = x.map(math.abs).max
+      val scale = amax / 127.0
+      assert(qMax <= 127 && qL1 >= math.abs(qSum))
+      assert(math.abs(scale6 - scale) < 1e-6)
+      if (amax > 0) {
+        val q = x.map(v => math.floor(v / scale + 0.5).toLong)
+        assert(q.sum == qSum && q.map(math.abs).sum == qL1)
+        // reconstruction: |x - q*scale| <= scale/2 element-wise
+        q.zip(x).foreach { case (qi, xi) =>
+          assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-12)
+        }
+      }
+    }
+  }
+
   test("mm_frame_dedup: frame accounting is exact") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), length(col("text")).as("len")).collect()
