@@ -146,6 +146,32 @@ object PipelineOps {
         .orderBy(col("cnt").desc, col("w"))
     }),
 
+    // Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    // Spirakis): rank docs by ln(u)/w where u is a stable md5-derived
+    // uniform and w = n_chars — equivalent to ranking u^(1/w), so
+    // inclusion probability scales with weight. This is the domain-
+    // upsampling primitive (sample bigger/better docs more often) in
+    // the same reingestion-stable, RNG-state-free discipline as
+    // sample_split_hash/sample_stratified: the key is a pure map-side
+    // expression of (doc_id, weight), and the global top-K is a
+    // TakeOrdered (k-bounded per partition, never a full sort shuffle).
+    // ln() is libm on both engines (not correctly-rounded by standard),
+    // but selection compares keys whose order-statistic gaps at any
+    // graded SF are ~1e-4 vs ulp-scale divergence — and the emitted
+    // columns are integers, so the oracle match is exact.
+    "sample_weighted" -> ((s: SparkSession, d: String) => {
+      val k = 200
+      t(s, d, "documents")
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").cast("double") / lit(1152921504606846976.0))
+        .withColumn("key", log(col("u")) / col("n_chars"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Percentile-gated curation cut — the adaptive form of
     // pipe_training_mix's fixed gate: each language keeps its own top
     // quality quartile (threshold = that language's p75, NOT a global
@@ -218,5 +244,11 @@ object PipelineOps {
         "count(*) AS kept, min(q.quality) AS min_kept_q, " +
         "CAST(sum(q.n_tokens) AS BIGINT) AS kept_tokens " +
         "FROM q JOIN t ON q.lang = t.lang WHERE q.quality >= t.thr " +
-        "GROUP BY q.lang ORDER BY q.lang"))
+        "GROUP BY q.lang ORDER BY q.lang"),
+    "sample_weighted" ->
+      ("SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, " +
+        "ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) / 1152921504606846976.0) / n_chars AS key " +
+        "FROM documents ORDER BY key DESC, doc_id LIMIT 200) " +
+        "ORDER BY doc_id"))
 }

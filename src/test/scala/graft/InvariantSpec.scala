@@ -257,6 +257,28 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("sample_weighted equals the Efraimidis-Spirakis brute force") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    val expect = docs.map { case (id, w) => (math.log(u(id)) / w, id, w) }
+      .sortBy(x => (-x._1, x._2)).take(200)
+      .map(x => (x._2, x._3)).sortBy(_._1).toSeq
+    val got = SparkEntry.queries("sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // weighting sanity: the sample's mean weight exceeds the corpus mean
+    val all = docs.map(_._2).sum.toDouble / docs.length
+    val samp = got.map(_._2).sum.toDouble / got.length
+    assert(samp > all, s"weighted sample mean $samp not above corpus mean $all")
+  }
+
   test("mm_frame_dedup: frame accounting is exact") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), length(col("text")).as("len")).collect()
