@@ -142,6 +142,27 @@ object AggOps {
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_d"))
         .orderBy("l_returnflag")),
 
+    // ⊘ mergeable-sketch COLUMNS (DataSketches HLL) — the pattern
+    // approx_count_distinct can't do: the sketch itself is a value.
+    // Per-language token sketches are built once (one pass over the
+    // corpus), then the corpus-wide distinct estimate is a UNION OF
+    // SKETCHES — no second scan of the raw data. At 100 TB this is the
+    // profiling architecture: per-partition/day sketch columns persist
+    // in the store, and any rollup (lang → corpus, day → month) is a
+    // sketch-sized merge, register-max order-independent. No oracle
+    // (sketch internals are engine-specific); ±5% accuracy vs the exact
+    // distinct counts in-repo.
+    "agg_hll_sketch" -> ((s: SparkSession, d: String) => {
+      val tok = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val per = tok.groupBy(col("lang")).agg(hll_sketch_agg(col("w")).as("sk"))
+      per.select(col("lang"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+        .union(per.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("est_distinct"))
+          .select(lit("ALL").as("lang"), col("est_distinct")))
+        .orderBy("lang")
+    }),
+
     // Exact second-moment statistics (r4): mean / var_samp / stddev are
     // normally un-oracle-able — both engines' builtin stddev folds
     // doubles in merge order, so the result is partition-order

@@ -257,6 +257,22 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("agg_hll_sketch estimates within 5% of exact, union == global") {
+    import graft.Tables.t
+    val tok = t(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val exact = tok.groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("d")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap +
+      ("ALL" -> tok.select(col("w")).distinct().count())
+    SparkEntry.queries("agg_hll_sketch")(spark, sf).collect().foreach { r =>
+      val (lang, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(lang)
+      assert(math.abs(est - ex).toDouble / ex <= 0.05,
+        s"$lang: est $est vs exact $ex")
+    }
+  }
+
   test("sample_weighted equals the Efraimidis-Spirakis brute force") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars")).collect()
