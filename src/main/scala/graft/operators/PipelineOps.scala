@@ -146,6 +146,40 @@ object PipelineOps {
         .orderBy(col("cnt").desc, col("w"))
     }),
 
+    // The full curation pipeline as ONE declarative plan — the headline
+    // composite tying the family together: near-dup CC clustering
+    // (pointer-jump, convergence-checked upstream) → keep the highest-
+    // quality doc per cluster (canonical selection; exact dups have
+    // J = 1 ≥ τ so this subsumes exact dedup) → absolute quality gate →
+    // reingestion-stable hash split → per-(lang, split) corpus summary.
+    // Every stage is the already-audited scale shape; the composite adds
+    // only cluster-count-sized aggs and map-side expressions on top of
+    // the pair graph, so its cost ≈ dedup_cluster_cc's. This is the plan
+    // a real corpus-curation run submits once per ingest.
+    "pipe_curation_e2e" -> ((s: SparkSession, d: String) => {
+      val clusters = TextSimOps.clusterCC(s, d, 6)
+      val docs = t(s, d, "documents")
+        .withColumn("quality", TextAnalysisOps.qualityCol)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+      val keep = clusters.join(docs, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+        .select((-col("b.nid")).as("doc_id"))
+      docs.join(keep, "doc_id")
+        .where(col("quality") >= QualityGate)
+        .withColumn("b",
+          pmod(pmod(col("doc_id"), lit(SplitMod)) * 31 + 7, lit(100)))
+        .withColumn("split",
+          when(col("b") < 80, "train")
+            .when(col("b") < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens")).cast("long").as("tokens"),
+          min(col("quality")).as("min_q"))
+        .orderBy("lang", "split")
+    }),
+
     // Deterministic WEIGHTED sampling without replacement (Efraimidis-
     // Spirakis): rank docs by ln(u)/w where u is a stable md5-derived
     // uniform and w = n_chars — equivalent to ranking u^(1/w), so
@@ -250,5 +284,21 @@ object PipelineOps {
         "ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) " +
         "AS BIGINT) / 1152921504606846976.0) / n_chars AS key " +
         "FROM documents ORDER BY key DESC, doc_id LIMIT 200) " +
-        "ORDER BY doc_id"))
+        "ORDER BY doc_id"),
+    "pipe_curation_e2e" ->
+      ("WITH RECURSIVE " + TextSimOps.oCcCte + ", " +
+        "dq AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        TextAnalysisOps.qualitySql + " AS quality FROM documents), " +
+        "r AS (SELECT cc.cluster, dq.doc_id, row_number() OVER " +
+        "(PARTITION BY cc.cluster ORDER BY dq.quality DESC, dq.doc_id) " +
+        "AS rn FROM cc JOIN dq USING (doc_id)), " +
+        "keep AS (SELECT doc_id FROM r WHERE rn = 1), " +
+        s"gated AS (SELECT dq.* FROM dq JOIN keep USING (doc_id) " +
+        s"WHERE quality >= $QualityGate) " +
+        s"SELECT lang, CASE WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 80 " +
+        s"THEN 'train' WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 90 " +
+        "THEN 'val' ELSE 'test' END AS split, count(*) AS docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens, min(quality) AS min_q " +
+        "FROM gated GROUP BY 1, 2 ORDER BY lang, split"))
 }

@@ -537,7 +537,7 @@ object TextSimOps {
   /** Shared oracle CTE chain (no WITH/RECURSIVE header): the exact
     * near-dup pair graph at [[TauPct]] and its connected components as
     * `cc(doc_id, cluster)` — the ground truth for both clustering keys. */
-  private val oCcCte: String =
+  private[operators] val oCcCte: String =
     "tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
       "FROM documents), " +
       "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +

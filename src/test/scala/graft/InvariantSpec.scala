@@ -273,6 +273,30 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_curation_e2e equals composing keep-best + gate + split") {
+    val best = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))) // (keep_doc, quality)
+    val meta = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("nt")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    def splitOf(id: Long): String = {
+      val b = ((id % 1009) * 31 + 7) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val expect = best.filter(_._2 >= 0.5)
+      .map { case (id, q) =>
+        ((meta(id)._1, splitOf(id)), (1L, meta(id)._2.toLong, q)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.map(_._2._1).sum, xs.map(_._2._2).sum, xs.map(_._2._3).min)
+      }.toMap
+    val got = SparkEntry.queries("pipe_curation_e2e")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("sample_weighted equals the Efraimidis-Spirakis brute force") {
     val docs = graft.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("n_chars")).collect()
