@@ -157,7 +157,9 @@ object PipelineOps {
     // the pair graph, so its cost ≈ dedup_cluster_cc's. This is the plan
     // a real corpus-curation run submits once per ingest.
     "pipe_curation_e2e" -> ((s: SparkSession, d: String) => {
-      val clusters = TextSimOps.clusterCC(s, d, 6)
+      // checked = true: same convergence guard as dedup_cluster_cc /
+      // dedup_keep_best — never silently emit an unconverged clustering
+      val clusters = TextSimOps.clusterCC(s, d, 6, checked = true)
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))

@@ -361,7 +361,11 @@ object TextSimOps {
     // argmax — no window over the full corpus, the shuffle output is
     // cluster-count-sized.
     "dedup_keep_best" -> ((s: SparkSession, d: String) => {
-      val clusters = clusterCC(s, d, CcRounds)
+      // checked = true: the same non-convergence guard as the shipped
+      // dedup_cluster_cc — a silent mis-clustering here would silently
+      // DROP documents (wrong canonical per merged-but-unconverged
+      // cluster), the worst failure mode a dedup pipeline has
+      val clusters = clusterCC(s, d, CcRounds, checked = true)
       val q = t(s, d, "documents")
         .select(col("doc_id"), TextAnalysisOps.qualityCol.as("quality"))
       clusters.join(q, "doc_id")
