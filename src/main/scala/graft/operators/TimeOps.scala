@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -126,23 +126,30 @@ object TimeOps {
     // post-join distinct shuffle. Bucket width tracks the typical
     // interval span (an order of magnitude either way only moves the
     // replication/selectivity trade).
-    "join_interval_overlap" -> ((s: SparkSession, d: String) => {
-      val iv = sessionIvals(s, d)
-      def side(p: String) = iv.select(
-        col("user_id").as(s"u$p"), col("sid").as(s"s$p"),
-        col("s0").as(s"s0$p"), col("s1").as(s"s1$p"),
-        explode(sequence(expr(s"s0 div $HourUs"), expr(s"s1 div $HourUs")))
-          .as(s"bk$p"))
-      side("a").join(side("b"),
-          col("bka") === col("bkb") && col("ua") < col("ub") &&
-            col("s0a") <= col("s1b") && col("s0b") <= col("s1a") &&
-            col("bka") === greatest(expr(s"s0a div $HourUs"),
-              expr(s"s0b div $HourUs")))
-        .select(col("ua"), col("sa"), col("ub"), col("sb"),
-          (least(col("s1a"), col("s1b")) -
-            greatest(col("s0a"), col("s0b"))).as("ov_us"))
-        .orderBy("ua", "sa", "ub", "sb")
-    }))
+    "join_interval_overlap" -> ((s: SparkSession, d: String) =>
+      overlapPairs(sessionIvals(s, d), HourUs)
+        .orderBy("ua", "sa", "ub", "sb")))
+
+  /** Grid-bucketed interval-overlap self-join over (user_id, sid, s0, s1)
+    * intervals: pairs of DIFFERENT users whose [s0, s1] overlap, each
+    * emitted exactly once (at the first bucket both intervals cover).
+    * Factored out so RewriteEquivalenceSpec can drive it with adversarial
+    * synthetic interval sets against a brute-force theta join. */
+  private[graft] def overlapPairs(iv: DataFrame, w: Long): DataFrame = {
+    def side(p: String) = iv.select(
+      col("user_id").as(s"u$p"), col("sid").as(s"s$p"),
+      col("s0").as(s"s0$p"), col("s1").as(s"s1$p"),
+      explode(sequence(expr(s"s0 div $w"), expr(s"s1 div $w")))
+        .as(s"bk$p"))
+    side("a").join(side("b"),
+        col("bka") === col("bkb") && col("ua") < col("ub") &&
+          col("s0a") <= col("s1b") && col("s0b") <= col("s1a") &&
+          col("bka") === greatest(expr(s"s0a div $w"),
+            expr(s"s0b div $w")))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        (least(col("s1a"), col("s1b")) -
+          greatest(col("s0a"), col("s0b"))).as("ov_us"))
+  }
 
   /** Session intervals (user_id, sid, s0, s1) — the gaps-and-islands
     * sub-plan shared by window_session and join_interval_overlap. */

@@ -111,6 +111,42 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
   }
 
+  test("grid-bucketed interval overlap equals brute force on adversarial intervals") {
+    val ss = spark
+    import ss.implicits._
+    val w = 100L // small bucket width to force multi-bucket spans
+    for (trial <- 1 to 3) {
+      val n = 200
+      val iv = (0 until n).map { i =>
+        val user = (i % 37).toLong
+        // adversarial mix: boundary-aligned starts/ends, zero-length
+        // intervals, spans of 0..5 buckets, exact duplicates
+        val s0 = rnd.nextInt(20) match {
+          case 0 => (rnd.nextInt(10) * w)           // bucket-aligned
+          case 1 => (rnd.nextInt(10) * w) - 1       // one before boundary
+          case _ => rnd.nextInt(1000).toLong
+        }
+        val len = rnd.nextInt(4) match {
+          case 0 => 0L                              // instant interval
+          case 1 => w * (1 + rnd.nextInt(5))        // exact multiples
+          case _ => rnd.nextInt(300).toLong
+        }
+        (user, i.toLong, s0, s0 + len)
+      }
+      val df = iv.toDF("user_id", "sid", "s0", "s1")
+      val got = operators.TimeOps.overlapPairs(df, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = (for {
+        a <- iv; b <- iv
+        if a._1 < b._1 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._1, a._2, b._1, b._2,
+          math.min(a._4, b._4) - math.max(a._3, b._3))).toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("ShingleGenerator equals the declarative transform(sequence) form") {
     val ss = spark
     import ss.implicits._
