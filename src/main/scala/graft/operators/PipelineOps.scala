@@ -217,7 +217,10 @@ object PipelineOps {
     // threshold dim (broadcast) → map-side gate → summary agg; the
     // corpus crosses exactly two lang-keyed shuffles. The threshold is
     // round6'd BEFORE the comparison in both engines, so an
-    // interpolation ulp can never flip a boundary document.
+    // interpolation ulp can never flip a boundary document. The exact
+    // percentile buffers each language's values (ObjectHashAggregate);
+    // at open scale swap in percentile_approx (agg_approx_percentile's
+    // GK sketch — mergeable, bounded memory) with the same plan shape.
     "pipe_quality_cut" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
