@@ -23,7 +23,8 @@ object SparkEntry {
       WindowOps.queries ++ SortSetOps.queries ++ FnOps.queries ++
       TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries ++
       MultimodalOps.queries ++ TextAnalysisOps.queries ++
-      SimilarityOps.queries ++ EtlOps.queries ++ PipelineOps.queries
+      SimilarityOps.queries ++ EtlOps.queries ++ PipelineOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
       WindowOps.oracle ++ SortSetOps.oracle ++ FnOps.oracle ++
       TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle ++
       MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
-      SimilarityOps.oracle ++ EtlOps.oracle ++ PipelineOps.oracle
+      SimilarityOps.oracle ++ EtlOps.oracle ++ PipelineOps.oracle ++
+      GraphOps.oracle
 }

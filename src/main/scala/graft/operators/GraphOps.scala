@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Graph analytics over relational edge sets — the reference's own
+  * downstream domain (the GraphSense platform's whole purpose is graph
+  * analytics over ingested ledger data; SURVEY §0 [PUBLIC]). The engine
+  * already ships connected components ([[TextSimOps.clusterCC]]); this
+  * adds the other canonical iterative-propagation member, PageRank.
+  *
+  * Determinism design: ranks are SCALED INTEGERS (1.0 ≡ 10¹²) and every
+  * step is integer add / multiply / floor-division — so three unrolled
+  * iterations hash-match the DuckDB oracle exactly, which no
+  * double-arithmetic PageRank can do (per-node neighbor sums fold in
+  * engine- and partition-dependent order). Damping 0.85 is the integer
+  * pair (×85, div 100).
+  *
+  * Scale notes (100 TB): the per-iteration plan is the distributed PR
+  * shape — one shuffle keyed on the destination node for the
+  * contribution sum (2-phase: map-side partial sums per partition), the
+  * out-degree dim joined map-side, and the rank frame referenced ONCE
+  * per iteration so the unmaterialized plan stays linear in iterations
+  * (the CC discipline, TextSimOps §3). The edge+degree table is
+  * localCheckpointed once (re-read every iteration otherwise). Sink
+  * nodes (no out-edges) drop their mass — the standard simplification,
+  * mirrored identically in the oracle.
+  */
+object GraphOps {
+  private val One = 1000000000000L // rank 1.0 in fixed-point
+  private val Iters = 3
+  private val PartOffset = 10000000L // part node ids, disjoint from suppliers
+
+  private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "lineitem")
+      .select(col("l_suppkey").as("u"),
+        (col("l_partkey") + PartOffset).as("v"))
+      .distinct()
+    val withDeg = edges
+      .join(edges.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
+      .localCheckpoint(false)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+      .localCheckpoint(false)
+    var rank = nodes.select(col("node"), lit(One).as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = withDeg
+        .join(rank.select(col("node").as("u2"), col("r").as("ru")),
+          col("u") === col("u2"))
+        .select(col("v").as("node"), expr("ru div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${15 * One / 100} + (85 * coalesce(m, 0L)) div 100")
+            .as("r"))
+    }
+    rank.orderBy(col("r").desc, col("node")).limit(50)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      def iter(i: Int) =
+        s"s$i AS (SELECT v AS node, sum(r // deg) AS m " +
+          s"FROM ed JOIN r${i - 1} ON ed.u = r${i - 1}.node GROUP BY v), " +
+          s"r$i AS (SELECT n.node, CAST(${15 * One / 100} + " +
+          s"(85 * coalesce(m, 0)) // 100 AS BIGINT) AS r " +
+          s"FROM n LEFT JOIN s$i USING (node))"
+      "WITH e AS (SELECT DISTINCT l_suppkey AS u, " +
+        s"l_partkey + $PartOffset AS v FROM lineitem), " +
+        "dg AS (SELECT u, count(*) AS deg FROM e GROUP BY u), " +
+        "ed AS (SELECT e.u, e.v, dg.deg FROM e JOIN dg USING (u)), " +
+        "n AS (SELECT u AS node FROM e UNION SELECT v FROM e), " +
+        s"r0 AS (SELECT node, CAST($One AS BIGINT) AS r FROM n), " +
+        iter(1) + ", " + iter(2) + ", " + iter(3) + " " +
+        "SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 50"
+    })
+}

@@ -273,6 +273,27 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("graph_pagerank equals the integer brute force") {
+    import graft.Tables.t
+    val edges = t(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 10000000L))
+    val one = 1000000000000L
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(n => (n, one)).toMap
+    for (_ <- 1 to 3) {
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v) => m(v) += rank(u) / deg(u) }
+      rank = nodes.map(n => (n, 15 * one / 100 + 85 * m(n) / 100)).toMap
+    }
+    val expect = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(50)
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
   test("pipe_curation_e2e equals composing keep-best + gate + split") {
     val best = SparkEntry.queries("dedup_keep_best")(spark, sf).collect()
       .map(r => (r.getLong(1), r.getDouble(2))) // (keep_doc, quality)
