@@ -142,6 +142,23 @@ object AggOps {
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_d"))
         .orderBy("l_returnflag")),
 
+    // EXACT distinct at scale via bitmap aggregation (the modern
+    // warehouse primitive): phase 1 ORs each value's bit into a
+    // fixed-size bitmap per (group, bucket-of-32k) — so the shuffle
+    // carries ≤ groups × buckets 4 KB bitmaps, NOT one row per distinct
+    // value like count(DISTINCT)'s expand — phase 2 sums popcounts.
+    // Exact ⇒ hash-oracled against count(DISTINCT); the bitmap never
+    // reaches the output.
+    "agg_bitmap_distinct" -> ((s: SparkSession, d: String) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+          .as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_distinct"))
+        .orderBy("l_returnflag")),
+
     // ⊘ mergeable-sketch COLUMNS (DataSketches HLL) — the pattern
     // approx_count_distinct can't do: the sketch itself is a value.
     // Per-language token sketches are built once (one pass over the
@@ -264,6 +281,9 @@ object AggOps {
         .orderBy("l_returnflag", "status")))
 
   val oracle: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_groupby" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
         oSumDec("l_quantity") + " AS sum_qty, " +
