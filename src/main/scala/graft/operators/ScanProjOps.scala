@@ -14,7 +14,31 @@ import graft.Tables._
   * / ReadSchema — asserted in PlanSpec). No shuffles except the final sort.
   */
 object ScanProjOps {
+  /** One ANSI SQL text, executed VERBATIM by both engines — Spark via
+    * `spark.sql` over [[graft.Tables.registerAll]]'s temp views, DuckDB
+    * as the oracle. Money through per-row DECIMAL casts (exact rational
+    * arithmetic in both engines; one double cast at the boundary —
+    * determinism rule §7.3.2/r3). */
+  private[operators] val SqlSurfaceText: String =
+    "SELECT c_mktsegment, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n " +
+      "FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey " +
+      "WHERE o_totalprice > 150000 " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+
   val queries: Map[String, QFn] = Map(
+    // The SQL entry path: the same engine surface reachable as ANSI text
+    // (a reference user may submit SQL, not DataFrame code). The string
+    // above IS the oracle — one dialect-neutral text, two engines, one
+    // hash. Catalyst plans it identically to the DataFrame form (same
+    // broadcast dim join + 2-phase agg).
+    "sql_surface" -> ((s: SparkSession, d: String) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(SqlSurfaceText)
+    }),
     // NOTE (measured): (l_orderkey, l_linenumber) is NOT unique in the
     // corpus and duplicate-key rows differ in content — every ORDER BY
     // here therefore covers ALL output columns, so remaining ties are
@@ -93,6 +117,7 @@ object ScanProjOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "sql_surface" -> SqlSurfaceText,
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY ALL LIMIT 100",
     "scan_parquet_nanos" ->
