@@ -59,7 +59,22 @@ object GraphOps {
   }
 
   val queries: Map[String, QFn] = Map(
-    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)))
+    "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
+
+    // Degree distribution of the supplier→part edge set: per-part
+    // distinct-supplier degree, then node count per degree — the first
+    // profiling query run on any new graph. Two keyed 2-phase aggs
+    // (edge distinct is itself the first); the output is
+    // max-degree-sized. At 100 TB the same plan holds: no node's
+    // neighbor list is ever materialized, only counted.
+    "graph_degree_dist" -> ((s: SparkSession, d: String) => {
+      val edges = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("u"), col("l_partkey").as("v"))
+        .distinct()
+      edges.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("nodes"))
+        .orderBy("deg")
+    }))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> {
@@ -77,5 +92,10 @@ object GraphOps {
         s"r0 AS (SELECT node, CAST($One AS BIGINT) AS r FROM n), " +
         iter(1) + ", " + iter(2) + ", " + iter(3) + " " +
         "SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 50"
-    })
+    },
+    "graph_degree_dist" ->
+      ("WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v " +
+        "FROM lineitem), " +
+        "d AS (SELECT v, count(*) AS deg FROM e GROUP BY 1) " +
+        "SELECT deg, count(*) AS nodes FROM d GROUP BY 1 ORDER BY deg"))
 }
