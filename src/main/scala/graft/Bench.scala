@@ -19,7 +19,15 @@ object Bench {
     // one-time cost (r02: join_cross 4.0 s cold vs ~1 s steady-state,
     // dedup_exact 2.9 s cold vs 0.5 s warm).
     Tables.AllTables.foreach(n => Tables.t(spark, sfDir, n).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=k1,k2 restricts to named keys — isolated
+    // steady-state timing (in-suite numbers carry neighbor GC/page
+    // pressure; see DESIGN §5).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

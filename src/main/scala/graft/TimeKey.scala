@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: steady-state timing of one key — runs it N times in one
+  * session and prints each iteration, separating plan/codegen warmup
+  * from per-run cost (the in-suite Bench numbers carry neighbor GC and
+  * first-run compilation; DESIGN §5). Usage:
+  * TimeKey <key> [runs=3] [sfDir=/root/testdata/sf0.1]. */
+object TimeKey {
+  def main(args: Array[String]): Unit = {
+    val key = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.AllTables.foreach(n => Tables.t(spark, sfDir, n).count())
+    val fn = SparkEntry.queries(key)
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[timekey] $key run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    spark.stop()
+  }
+}
