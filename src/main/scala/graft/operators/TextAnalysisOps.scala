@@ -143,6 +143,71 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus-LM quality scoring (the CCNet-style language-model filter):
+    // score each document by its average add-1-smoothed bigram
+    // probability under the corpus's own bigram model — low scores mark
+    // out-of-distribution/garbled text. Determinism discipline: the
+    // standard form is avg log-prob (perplexity), but log() is not
+    // correctly-rounded IEEE and ulp drift across libms could flip a
+    // round6 boundary — so the probability is FIXED-POINT INTEGER
+    // (p6 = (10⁶·(c+1)) div (cu+V)), integer-summed, with exactly ONE
+    // exact-integer double division at the output boundary (the
+    // graph_pagerank discipline). Shape: bigram explode → two
+    // vocabulary-sized model aggs (broadcast at the attach joins) →
+    // one doc-keyed agg; the shuffle carries (gram, partial count),
+    // never text.
+    "text_lm_score" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bg = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+      val c = bg.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      val cu = bg.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("cu"))
+      val v = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("vsz"))
+      val per = bg.join(broadcast(c), "g")
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(broadcast(cu), "w1")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          expr("(1000000 * (c + 1)) div (cu + vsz)").as("p6"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p6")).as("score6"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score6"), lit(0L)).as("score6"),
+          round6(when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            col("score6").cast("double") /
+              (col("n_bigrams") * lit(1000000L)).cast("double"))
+            .otherwise(lit(0.0))).as("avg_p"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms: each doc's 3 most distinctive tokens by exact
+    // integer weight tf · ((10⁶·N) div df) — the log-free IDF ratio
+    // keeps the ranking hash-oracle-able (log-IDF reorders nothing at
+    // fixed N: x ↦ log is monotone in N/df; ties broken by token). The
+    // top-3 runs on the custom TopKPerGroupExec, so the final shuffle
+    // carries ≤ 3 rows per (doc × partition), never the full (doc,
+    // token) matrix — the same flagship reuse as knn_per_label.
+    "text_tfidf_top" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val weighted = tf.join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          (col("tf") * expr("(1000000 * nd) div df")).as("wt"))
+      GraftOps.topKPerGroup(weighted, Seq("doc_id"),
+        Seq(("wt", false), ("w", true)), 3)
+        .select(col("doc_id"), col("w"), col("wt"))
+        .orderBy(col("doc_id"), col("wt").desc, col("w"))
+    }),
+
     // Cross-document shared-span detection (the word-level miniature of
     // exact-substring training-data dedup, Lee et al.'s "Deduplicating
     // Training Data Makes Language Models Better" shape): for each doc,
@@ -267,6 +332,37 @@ object TextAnalysisOps {
         "FROM documents d LEFT JOIN a2 USING (doc_id) " +
         "LEFT JOIN a3 USING (doc_id) ORDER BY doc_id"
     },
+    "text_lm_score" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        s"bg AS (${oGrams(2)}), " +
+        "c AS (SELECT g, count(*) AS c FROM bg GROUP BY 1), " +
+        "cu AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS cu " +
+        "FROM bg GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w) AS vsz FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents)), " +
+        "p AS (SELECT doc_id, (1000000 * (c + 1)) // (cu + vsz) AS p6 " +
+        "FROM bg JOIN c USING (g) " +
+        "JOIN cu ON split_part(bg.g, ' ', 1) = cu.w1, v), " +
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(p6) AS BIGINT) AS score6 FROM p GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(score6, 0) AS score6, " +
+        oRound6("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN " +
+          "CAST(score6 AS DOUBLE) / (n_bigrams * 1000000) ELSE 0.0 END") +
+        " AS avg_p " +
+        "FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id"),
+    "text_tfidf_top" ->
+      ("WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS nd FROM documents), " +
+        "wt AS (SELECT doc_id, tf.w, tf * ((1000000 * nd) // df) AS wt " +
+        "FROM tf JOIN df USING (w), n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY wt DESC, w) AS rn FROM wt) " +
+        "SELECT doc_id, w, CAST(wt AS BIGINT) AS wt FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, wt DESC, w"),
     "dedup_span_shared" ->
       ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         s"sp AS (SELECT DISTINCT doc_id, g FROM (${oGrams(3)})), " +

@@ -202,10 +202,12 @@ class PlanSpec extends SparkTestBase {
     //  - knn_cosine / knn_ann_srp / knn_ivf: 1×N (query row) or ≤16×N
     //    (centroid dim) broadcast attaches — constant-bounded side,
     //    linear in the corpus
-    //  - agg_heavy_hitters: 1×N broadcast of the 1-row global count
-    //    (scalar attach for the n/k threshold)
+    //  - agg_heavy_hitters / text_lm_score / text_tfidf_top: 1×N
+    //    broadcast of a 1-row global aggregate (scalar attach for the
+    //    n/k threshold, vocabulary size V, corpus doc count N)
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
-      "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters")
+      "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
+      "text_lm_score", "text_tfidf_top")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
