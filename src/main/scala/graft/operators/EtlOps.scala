@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -50,6 +51,61 @@ object EtlOps {
           (sum(col("tx.price") * col("rate_pct")).cast("double") / lit(100.0))
             .as("value_adj"))
         .orderBy("ym")
+    }),
+
+    // Slowly-changing-dimension (type 2) build from the event stream —
+    // the warehouse ETL that turns a change log into versioned validity
+    // intervals: per user, each run of consecutive equal event_type
+    // values becomes one version row [eff_from, eff_to), eff_to NULL on
+    // the current version. Shape: one user-keyed shuffle feeding three
+    // window passes over the SAME partitioning (lag to find change
+    // points, row_number to number versions, lead for the interval
+    // close) — the exchange is planned once and reused; nothing else
+    // shuffles. The (ts_us, event_id) order key is unique, so version
+    // boundaries are total-order deterministic.
+    "etl_scd2" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("ver", row_number().over(w))
+        .withColumn("eff_to", lead("ts_us", 1).over(w))
+        .select(col("user_id"), col("ver"), col("event_type").as("attr"),
+          col("ts_us").as("eff_from"), col("eff_to"),
+          col("eff_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "ver")
+    }),
+
+    // MERGE INTO semantics as one declarative plan — the batch form of
+    // the reference's idempotent keyed upsert (KeyedUpsertSink is the
+    // sink-side twin): base ⟕⟖ updates full-outer on the key, matched
+    // rows take the update's values, unmatched-by-source keep the base
+    // row, unmatched-by-target insert. The updates/inserts sets are
+    // derived deterministically from orders (key % 10 → status update;
+    // key % 100 → brand-new key) so the merge is oracle-able. Shape:
+    // ONE key-equi shuffle join (full outer ⇒ sort-merge; AQE
+    // skew-splittable) + map-side coalesces — the 100 TB merge shape,
+    // no row-at-a-time upserts.
+    "etl_merge_upsert" -> ((s: SparkSession, d: String) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          moneyOut(col("o_totalprice")).as("price"))
+      val upd = t(s, d, "orders").where(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("n_st"))
+        .union(t(s, d, "orders").where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            lit("I").as("n_st")))
+      base.join(upd, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_st"), col("st")).as("status"),
+          coalesce(col("price"), lit(0.0)).as("price"),
+          when(col("st").isNull, "insert")
+            .when(col("n_st").isNull, "keep").otherwise("update").as("action"))
+        .groupBy(col("status"), col("action"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("price")).as("sum_price"))
+        .orderBy("status", "action")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -61,5 +117,33 @@ object EtlOps {
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * rate_pct) " +
         "AS DOUBLE) / 100.0 AS value_adj " +
         "FROM lineitem JOIN b ON l_orderkey = o_orderkey " +
-        "JOIN r USING (ym) GROUP BY ym ORDER BY ym"))
+        "JOIN r USING (ym) GROUP BY ym ORDER BY ym"),
+    "etl_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "f AS (SELECT *, lag(event_type) OVER w AS prev FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "ch AS (SELECT * FROM f WHERE prev IS NULL OR prev <> event_type), " +
+        "v AS (SELECT *, row_number() OVER w AS ver, lead(ts_us) OVER w " +
+        "AS eff_to FROM ch " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+        "SELECT user_id, CAST(ver AS INTEGER) AS ver, event_type AS attr, " +
+        "ts_us AS eff_from, eff_to, " +
+        "CAST(eff_to IS NULL AS INTEGER) AS is_current " +
+        "FROM v ORDER BY user_id, ver"),
+    "etl_merge_upsert" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, " +
+        oMoneyOut("o_totalprice") + " AS price FROM orders), " +
+        "upd AS (SELECT o_orderkey AS k, 'U' AS n_st FROM orders " +
+        "WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT o_orderkey + 1000000000 AS k, 'I' AS n_st " +
+        "FROM orders WHERE o_orderkey % 100 = 0), " +
+        "m AS (SELECT coalesce(n_st, st) AS status, " +
+        "coalesce(price, 0.0) AS price, " +
+        "CASE WHEN st IS NULL THEN 'insert' WHEN n_st IS NULL THEN 'keep' " +
+        "ELSE 'update' END AS action " +
+        "FROM base FULL JOIN upd ON base.k = upd.k) " +
+        "SELECT status, action, count(*) AS cnt, " +
+        oSumDec("price") + " AS sum_price " +
+        "FROM m GROUP BY 1, 2 ORDER BY status, action"))
 }

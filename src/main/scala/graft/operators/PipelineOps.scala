@@ -208,6 +208,44 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination — the check every serious training run
+    // performs (GPT-3 appendix C / Dodge et al. shape): flag training
+    // documents sharing too many exact word 3-gram spans with a held-out
+    // evaluation set (here derived deterministically: doc_id % 100 = 0
+    // is "the benchmark"). Per train doc: distinct spans, spans hit in
+    // ANY eval doc, overlap fraction, contaminated flag at 80%. Shape:
+    // both span sets are span-keyed distincts; the hit count is one
+    // span-keyed equi-join (broadcast while the eval set is small, the
+    // usual case; a shuffle equi-join at parity scale) + doc-keyed agg —
+    // the train×eval doc-pair space is never enumerated, and only span
+    // strings (hashes at open scale) cross the shuffle.
+    "pipe_decontaminate" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val spans = docs
+        .select(col("doc_id"), explode(TextAnalysisOps.grams(3)).as("g"))
+        .distinct()
+      val evalSp = spans.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("g")).distinct()
+      val trainSp = spans.where(pmod(col("doc_id"), lit(100)) =!= 0)
+      val hits = trainSp.join(broadcast(evalSp), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("hit_spans"))
+      val per = trainSp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      docs.where(pmod(col("doc_id"), lit(100)) =!= 0).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("hit_spans"), lit(0L)).as("hit_spans"),
+          round6(when(coalesce(col("n_spans"), lit(0L)) > 0,
+            coalesce(col("hit_spans"), lit(0L)).cast("double") /
+              col("n_spans")).otherwise(lit(0.0))).as("overlap"),
+          when(coalesce(col("n_spans"), lit(0L)) > 0 &&
+            coalesce(col("hit_spans"), lit(0L)) * 100 >=
+              coalesce(col("n_spans"), lit(0L)) * 80, 1).otherwise(0)
+            .as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Percentile-gated curation cut — the adaptive form of
     // pipe_training_mix's fixed gate: each language keeps its own top
     // quality quartile (threshold = that language's p75, NOT a global
@@ -272,6 +310,26 @@ object PipelineOps {
         "c AS (SELECT w, count(*) AS cnt FROM tokc GROUP BY w) " +
         "SELECT w, cnt FROM c, tot WHERE cnt * 50 > n " +
         "ORDER BY cnt DESC, w"),
+    "pipe_decontaminate" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        s"sp AS (SELECT DISTINCT doc_id, g FROM (${TextAnalysisOps.oGrams(3)})), " +
+        "ev AS (SELECT DISTINCT g FROM sp WHERE doc_id % 100 = 0), " +
+        "tr AS (SELECT * FROM sp WHERE doc_id % 100 <> 0), " +
+        "h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_spans " +
+        "FROM tr JOIN ev USING (g) GROUP BY 1), " +
+        "p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans " +
+        "FROM tr GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans, " +
+        "coalesce(hit_spans, 0) AS hit_spans, " +
+        oRound6("CASE WHEN coalesce(n_spans, 0) > 0 THEN " +
+          "CAST(coalesce(hit_spans, 0) AS DOUBLE) / n_spans ELSE 0.0 END") +
+        " AS overlap, " +
+        "CASE WHEN coalesce(n_spans, 0) > 0 AND coalesce(hit_spans, 0) * 100 " +
+        ">= coalesce(n_spans, 0) * 80 THEN 1 ELSE 0 END AS contaminated " +
+        "FROM documents d LEFT JOIN p USING (doc_id) " +
+        "LEFT JOIN h USING (doc_id) WHERE d.doc_id % 100 <> 0 " +
+        "ORDER BY doc_id"),
     "pipe_quality_cut" ->
       ("WITH q AS (SELECT lang, doc_id, " +
         "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +

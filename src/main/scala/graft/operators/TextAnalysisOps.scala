@@ -242,7 +242,7 @@ object TextAnalysisOps {
   /** Word n-gram array of `text` (space-joined, overlapping), empty for
     * docs with < n tokens — Spark's sequence() DESCENDS for end < start,
     * so the short-doc guard is mandatory (same trap as sim_ngram_jaccard). */
-  private def grams(n: Int): Column = expr(
+  private[operators] def grams(n: Int): Column = expr(
     s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
       s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
       s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))) " +
@@ -250,7 +250,7 @@ object TextAnalysisOps {
 
   /** Oracle-side mirror of [[grams]]: 1-based list indexing, range() is
     * end-exclusive and already empty for short docs. */
-  private def oGrams(n: Int): String = {
+  private[operators] def oGrams(n: Int): String = {
     val parts = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     s"SELECT doc_id, $parts AS g FROM tk, " +
       s"LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) u"

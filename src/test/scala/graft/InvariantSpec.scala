@@ -20,6 +20,27 @@ class InvariantSpec extends SparkTestBase {
     assert(reps.subsetOf(at6.map(_._1).toSet))
   }
 
+  test("dedup_cluster_cc matches GraphX connectedComponents") {
+    // independent engine check: GraphX's Pregel CC on the same pair
+    // graph must assign identical min-member labels (docs outside the
+    // pair graph are singletons and keep their own id)
+    import org.apache.spark.graphx.Graph
+    val pairs = operators.TextSimOps.exactWordPairs(spark, sf, 90)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val g = Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(pairs.toSeq), 1)
+    val gx = g.connectedComponents().vertices.collect().toMap
+    val ours = SparkEntry.queries("dedup_cluster_cc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ours.nonEmpty)
+    ours.foreach { case (v, l) =>
+      assert(l == gx.getOrElse(v, v),
+        s"doc $v: graft label $l vs graphx ${gx.get(v)}")
+    }
+  }
+
   test("dedup_cluster_cc convergence guard raises on an exhausted budget") {
     // the shipped key runs checked = true: one guard round compares
     // round N with round N+1 and raise_error()s on any label change, so
