@@ -190,4 +190,38 @@ class StreamingSpec extends SparkTestBase {
         s"window $ws: streamed $cnt vs batch ${batch.get(ws)}")
     }
   }
+
+  test("streaming funnel (mapGroupsWithState) equals the batch seq_funnel") {
+    import graft.streaming.FunnelStream
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val ss = spark
+    import ss.implicits._
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[FunnelStream.Ev]
+    val q = FunnelStream.funnel(in)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // stage and t-values are monotone per user, so the max-struct row of
+    // the accumulated update feed IS the final state
+    val got = spark.table("funnel_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("stage"), col("t1"), col("t2"), col("t3"))).as("f"))
+      .select(col("user_id"), col("f.t1"), col("f.t2"), col("f.t3"),
+        col("f.stage"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val expect = SparkEntry.queries("seq_funnel")(spark, sf).collect()
+      .map { r =>
+        def t(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+        r.getLong(0) -> (t(1), t(2), t(3), r.getInt(4))
+      }.toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._4 == 3), "corpus exercises no full funnel")
+  }
 }
