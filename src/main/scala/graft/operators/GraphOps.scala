@@ -61,6 +61,37 @@ object GraphOps {
   val queries: Map[String, QFn] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => pagerank(s, d)),
 
+    // k-hop neighborhood (BFS min-hop distance) from one source node —
+    // the reference platform's signature query shape ("is this address
+    // within k hops of that entity"; SURVEY §0 [PUBLIC]). 4 rounds of
+    // frontier expansion over the undirected supplier↔part edge set;
+    // each round = one dest-keyed equi-join + min agg (2-phase), the
+    // running distance table pinned per round (localCheckpoint — the CC
+    // discipline: it is referenced twice per round, by the expansion
+    // join and the union, and would otherwise re-execute 2^rounds
+    // times). Exact integer hops, unrolled identically in the oracle.
+    "graph_bfs_hops" -> ((s: SparkSession, d: String) => {
+      val e = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("u"),
+          (col("l_partkey") + PartOffset).as("v"))
+        .distinct()
+      val edges = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(false)
+      var dist = edges.sparkSession.range(1)
+        .select(lit(1L).as("node"), lit(0).as("hops"))
+      for (_ <- 1 to 4) {
+        val p = dist.localCheckpoint(false)
+        val frontier = edges
+          .join(p.select(col("node").as("u2"), col("hops").as("hu")),
+            col("u") === col("u2"))
+          .select(col("v").as("node"), (col("hu") + 1).as("hops"))
+        dist = p.union(frontier)
+          .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+      }
+      dist.orderBy("node")
+    }),
+
     // Degree distribution of the supplier→part edge set: per-part
     // distinct-supplier degree, then node count per degree — the first
     // profiling query run on any new graph. Two keyed 2-phase aggs
@@ -97,5 +128,18 @@ object GraphOps {
       ("WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v " +
         "FROM lineitem), " +
         "d AS (SELECT v, count(*) AS deg FROM e GROUP BY 1) " +
-        "SELECT deg, count(*) AS nodes FROM d GROUP BY 1 ORDER BY deg"))
+        "SELECT deg, count(*) AS nodes FROM d GROUP BY 1 ORDER BY deg"),
+    "graph_bfs_hops" -> {
+      def round(i: Int) =
+        s"d$i AS (SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM (" +
+          s"SELECT node, hops FROM d${i - 1} " +
+          s"UNION ALL SELECT e2.v AS node, d${i - 1}.hops + 1 AS hops " +
+          s"FROM e2 JOIN d${i - 1} ON e2.u = d${i - 1}.node) GROUP BY node)"
+      "WITH e AS (SELECT DISTINCT l_suppkey AS u, " +
+        s"l_partkey + $PartOffset AS v FROM lineitem), " +
+        "e2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), " +
+        "d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS hops), " +
+        round(1) + ", " + round(2) + ", " + round(3) + ", " + round(4) + " " +
+        "SELECT node, hops FROM d4 ORDER BY node"
+    })
 }
