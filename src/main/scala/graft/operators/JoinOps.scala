@@ -174,6 +174,37 @@ object JoinOps {
         .orderBy("s_nationkey")
     }),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of silently dropping — the join SQL's
+    // third equality semantics after = and theta, and the one an
+    // ingest-dedup on possibly-null business keys actually needs. Keys
+    // derived deterministically (nullif(x % 5, 0) sends one residue
+    // class to NULL on both sides). Plans as a hash join on the
+    // null-wrapped key — same shuffle/broadcast shape as =.
+    "join_null_safe" -> ((s: SparkSession, d: String) => {
+      val c = t(s, d, "customer")
+        .select(nullif(expr("c_nationkey % 5"), lit(0)).as("ck"))
+        .groupBy(col("ck")).agg(count(lit(1)).as("nc"))
+      val sp = t(s, d, "supplier")
+        .select(nullif(expr("s_nationkey % 5"), lit(0)).as("sk"))
+        .groupBy(col("sk")).agg(count(lit(1)).as("ns"))
+      c.join(sp, col("ck") <=> col("sk"))
+        .select(col("ck").as("k"), (col("nc") * col("ns")).as("pairs"))
+        .orderBy(asc_nulls_first("k"))
+    }),
+
+    // Correlated LATERAL top-n join — each customer's single most
+    // expensive order via a correlated ORDER BY … LIMIT 1 subquery,
+    // submitted as ONE dialect-neutral SQL text to both engines (the
+    // sql_surface discipline). Catalyst decorrelates the limit into a
+    // per-key window (DecorrelateInnerQuery) — i.e. the planner turns
+    // row-at-a-time semantics into the set-based top-1-per-group shape;
+    // no per-customer subquery ever executes.
+    "join_lateral_topn" -> ((s: SparkSession, d: String) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(LateralTopnText)
+    }),
+
     "join_asof" -> ((s: SparkSession, d: String) => {
       // Latest signup event at-or-before each event's ts for the same user:
       // max over an ever-growing frame ≡ as-of join of the event stream
@@ -188,9 +219,28 @@ object JoinOps {
         .orderBy("event_id")
     }))
 
+  /** Dialect-neutral correlated-LATERAL text — the string IS the oracle
+    * (executed verbatim by both engines). */
+  private val LateralTopnText: String =
+    "SELECT c_custkey, o_orderkey, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price " +
+      "FROM customer, " +
+      "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+      "WHERE o_custkey = c_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o " +
+      "ORDER BY c_custkey"
+
   val oracle: Map[String, String] = Map(
     "join_inner_equi" -> innerEquiSql,
     "join_hint_shuffle" -> innerEquiSql,
+    "join_null_safe" ->
+      ("WITH c AS (SELECT nullif(c_nationkey % 5, 0) AS ck, " +
+        "count(*) AS nc FROM customer GROUP BY 1), " +
+        "s AS (SELECT nullif(s_nationkey % 5, 0) AS sk, " +
+        "count(*) AS ns FROM supplier GROUP BY 1) " +
+        "SELECT ck AS k, nc * ns AS pairs FROM c JOIN s " +
+        "ON ck IS NOT DISTINCT FROM sk ORDER BY k NULLS FIRST"),
+    "join_lateral_topn" -> LateralTopnText,
     "join_bloom_filtered" ->
       ("SELECT l_returnflag, count(*) AS cnt, " +
         oSumDec("l_extendedprice") + " AS sum_price " +
