@@ -41,6 +41,31 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("graph_bfs_hops matches GraphX ShortestPaths") {
+    // independent engine check: GraphX's Pregel shortest-paths from the
+    // same source must agree on every node the 4-round BFS reaches (and
+    // any GraphX distance <= 4 must be present in ours)
+    import org.apache.spark.graphx.{Graph, lib}
+    val edges = graft.Tables.t(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1) + 10000000L))
+    val g = Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(
+        (edges ++ edges.map(e => (e._2, e._1))).toSeq), 1)
+    val gx = lib.ShortestPaths.run(g, Seq(1L)).vertices.collect()
+      .map { case (v, m) => v -> m.get(1L) }.toMap
+    val ours = SparkEntry.queries("graph_bfs_hops")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(ours.nonEmpty)
+    ours.foreach { case (v, h) =>
+      assert(gx(v).contains(h), s"node $v: graft $h vs graphx ${gx(v)}")
+    }
+    gx.foreach { case (v, d) =>
+      if (d.exists(_ <= 4))
+        assert(ours.contains(v), s"node $v at depth $d missing from BFS")
+    }
+  }
+
   test("dedup_cluster_cc convergence guard raises on an exhausted budget") {
     // the shipped key runs checked = true: one guard round compares
     // round N with round N+1 and raise_error()s on any label change, so
