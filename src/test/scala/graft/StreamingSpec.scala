@@ -191,6 +191,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming OHLC windows equal the batch agg_ohlc bars") {
+    // struct-extreme open/close are order-independent aggregates, so the
+    // same expressions run unchanged under append-mode event-time windows
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val key = struct(col("ts_us"), col("event_id"), col("value"))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+      .withWatermark("tstamp", "10 minutes")
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(key).getField("value").as("open"),
+        max(key).getField("value").as("close"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("cnt"), col("open"), col("hi"), col("lo"),
+        col("close"))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ohlc_out").collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val batch = SparkEntry.queries("agg_ohlc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1) * 3600L * 1000000L) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(streamed.nonEmpty, "append mode emitted no finalized bars")
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"bar $k: streamed $v vs ${batch.get(k)}")
+    }
+  }
+
   test("streaming funnel (mapGroupsWithState) equals the batch seq_funnel") {
     import graft.streaming.FunnelStream
     val (dir, _, _, _) = stageChunks(withLate = false)
