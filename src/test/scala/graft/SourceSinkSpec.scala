@@ -78,6 +78,25 @@ class SourceSinkSpec extends SparkTestBase {
       "no partition filter in scan")
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // ingestion reality at 100 TB: the raw store accumulates files
+    // written under evolving schemas — readers must union columns, with
+    // NULLs where an older generation lacks a column
+    val root = tmp()
+    val gen1 = li.select(col("l_orderkey"), col("l_linenumber"))
+    val gen2 = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"))
+    gen1.write.parquet(s"$root/t/g1")
+    gen2.write.parquet(s"$root/t/g2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/t/g1", s"$root/t/g2")
+    assert(merged.columns.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity"))
+    assert(merged.count() == 2 * li.count())
+    assert(merged.where(col("l_quantity").isNull).count() == li.count(),
+      "older-generation rows should read the new column as NULL")
+  }
+
   test("IVF layout: partitioning by trained cell gives partition-pruned probes") {
     import org.apache.spark.sql.functions.input_file_name
     val emb = graft.Tables.t(spark, sf, "embeddings")
