@@ -78,6 +78,32 @@ class SourceSinkSpec extends SparkTestBase {
       "no partition filter in scan")
   }
 
+  test("DSv2 ledger source: filters, columns, and slices all push down") {
+    import graft.sources.LedgerRatesSource
+    val fmt = classOf[LedgerRatesSource].getName
+    // full scan matches the expression-derived table exactly
+    val full = spark.read.format(fmt).load()
+    val expect = spark.range(64).selectExpr("cast(id as int) as day")
+      .crossJoin(spark.range(4).selectExpr("concat('r', id) as region"))
+      .selectExpr("day", "region",
+        "cast(100 + (day + length(region)) % 7 as bigint) as rate_pct")
+    assert(full.orderBy("day", "region").collect().toSeq ==
+      expect.orderBy("day", "region").collect().toSeq)
+    // day bounds reach planInputPartitions: [16, 31] keeps 2 of 8 slices
+    LedgerRatesSource.plannedPartitions.set(-1)
+    val pruned = spark.read.format(fmt).load()
+      .where(col("day") >= 16 && col("day") <= 31 && col("rate_pct") > 100)
+      .select("day", "rate_pct")
+    val rows = pruned.collect()
+    assert(LedgerRatesSource.plannedPartitions.get() == 2,
+      s"expected 2 planned slices, got ${LedgerRatesSource.plannedPartitions.get()}")
+    // residual (rate_pct) filter still applied by Spark post-scan
+    assert(rows.forall(r => r.getInt(0) >= 16 && r.getInt(0) <= 31))
+    assert(rows.forall(_.getLong(1) > 100))
+    assert(rows.length == expect.where(
+      col("day").between(16, 31) && col("rate_pct") > 100).count())
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     // ingestion reality at 100 TB: the raw store accumulates files
     // written under evolving schemas — readers must union columns, with
