@@ -104,6 +104,35 @@ class SourceSinkSpec extends SparkTestBase {
       col("day").between(16, 31) && col("rate_pct") > 100).count())
   }
 
+  test("DSv2 keyed store write: atomic commit, keyed last-write-wins, " +
+    "idempotent re-ingestion") {
+    import graft.sources.{KeyedStore, KeyedStoreSink}
+    val fmt = classOf[KeyedStoreSink].getName
+    val tbl = "t_" + System.nanoTime()
+    val ss = spark
+    import ss.implicits._
+    // duplicate keys across versions, scattered over partitions: the
+    // committed store must keep exactly the max-version row per key
+    val feed = Seq(
+      (1L, 1L, "a1"), (1L, 3L, "a3"), (1L, 2L, "a2"),
+      (2L, 5L, "b5"), (2L, 5L, "b5"), // exact duplicate rows
+      (3L, 1L, "c1"))
+      .toDF("key", "version", "payload").repartition(4)
+    feed.write.format(fmt).option("table", tbl).mode("append").save()
+    val s1 = KeyedStore.snapshot(tbl)
+    assert(s1 == Map(1L -> (3L, "a3"), 2L -> (5L, "b5"), 3L -> (1L, "c1")))
+    // re-ingestion (the reference's operational contract): same feed
+    // again must leave the store unchanged
+    feed.write.format(fmt).option("table", tbl).mode("append").save()
+    assert(KeyedStore.snapshot(tbl) == s1, "re-ingestion changed the store")
+    // a later version for one key upserts only that key
+    Seq((3L, 9L, "c9")).toDF("key", "version", "payload")
+      .write.format(fmt).option("table", tbl).mode("append").save()
+    assert(KeyedStore.snapshot(tbl) ==
+      s1.updated(3L, (9L, "c9")), "versioned upsert wrong")
+    KeyedStore.clear(tbl)
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     // ingestion reality at 100 TB: the raw store accumulates files
     // written under evolving schemas — readers must union columns, with
