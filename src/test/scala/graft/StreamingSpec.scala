@@ -191,6 +191,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ingest through the DSv2 keyed store is exactly-once") {
+    // the full reference chain: file-source replay → foreachBatch →
+    // DSv2 store sink; keyed last-write-wins across micro-batches must
+    // land exactly the batch argmax — duplicates across batches (the
+    // same key re-sent) upsert instead of duplicating
+    import graft.sources.{KeyedStore, KeyedStoreSink}
+    val fmt = classOf[KeyedStoreSink].getName
+    val tbl = "stream_" + System.nanoTime()
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .select(col("user_id").as("key"), col("ts_us").as("version"),
+        col("event_type").as("payload"))
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format(fmt).option("table", tbl).mode("append").save()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // expected: per user, the payload at max ts (payload tie-break)
+    val expect = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_type"))).as("m"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getString(1))).toMap
+    assert(KeyedStore.snapshot(tbl) == expect)
+    KeyedStore.clear(tbl)
+  }
+
   test("streaming OHLC windows equal the batch agg_ohlc bars") {
     // struct-extreme open/close are order-independent aggregates, so the
     // same expressions run unchanged under append-mode event-time windows
