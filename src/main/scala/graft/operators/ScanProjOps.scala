@@ -87,6 +87,25 @@ object ScanProjOps {
           .otherwise("large").as("bucket"))
         .orderBy("p_partkey")),
 
+    // Error-tolerant casts (TRY_CAST): malformed input becomes NULL
+    // instead of failing the job — the ingestion-reality member of the
+    // cast family (a raw feed always contains garbage rows; an engine
+    // that aborts the batch on the first bad value cannot ingest at
+    // scale). Messy strings derived deterministically: every third key
+    // carries a non-numeric name. Map-side expressions + one global agg.
+    "expr_try_cast" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part")
+        .withColumn("s", when(pmod(col("p_partkey"), lit(3)) === 0,
+          col("p_name")).otherwise(col("p_partkey").cast("string")))
+        .select(expr("try_cast(s AS BIGINT)").as("v"),
+          expr("try_cast(s AS DOUBLE)").as("vd"))
+        .agg(count(lit(1)).as("n"),
+          count(col("v")).as("n_ok"),
+          sum(when(col("v").isNull, 1).otherwise(0)).cast("long")
+            .as("n_bad"),
+          sum(col("v")).as("sum_v"),
+          sum(col("vd")).cast("double").as("sum_vd"))),
+
     "expr_cast" -> ((s: SparkSession, d: String) =>
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -141,6 +160,14 @@ object ScanProjOps {
       ("SELECT p_partkey, p_size, CASE WHEN p_size < 10 THEN 'small' " +
         "WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS bucket " +
         "FROM part ORDER BY p_partkey"),
+    "expr_try_cast" ->
+      ("WITH p AS (SELECT CASE WHEN p_partkey % 3 = 0 THEN p_name " +
+        "ELSE CAST(p_partkey AS VARCHAR) END AS s FROM part) " +
+        "SELECT count(*) AS n, count(TRY_CAST(s AS BIGINT)) AS n_ok, " +
+        "CAST(sum(CASE WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_bad, " +
+        "CAST(sum(TRY_CAST(s AS BIGINT)) AS BIGINT) AS sum_v, " +
+        "CAST(sum(TRY_CAST(s AS DOUBLE)) AS DOUBLE) AS sum_vd FROM p"),
     "expr_cast" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "CAST(l_orderkey AS VARCHAR) AS okey_s, " +
