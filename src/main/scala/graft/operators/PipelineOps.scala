@@ -208,6 +208,48 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // The dataset card — the single-row corpus profile every dataset
+    // release ships (docs, languages, token counts, exact-dup rate,
+    // quality distribution): one pass, every stat exact. Quality is
+    // already round6 fixed-point, so quality×10⁶ is an integer-valued
+    // double → cast to long and integer-summed (merge-order exact);
+    // the mean is ONE exact-integer division at the output boundary.
+    // Shape: two map-side derivations + one global agg + two scalar
+    // broadcast attaches (the dup-group and quantile dims) — corpus
+    // crosses the wire once.
+    "pipe_dataset_card" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        // quality is round6 = k/10⁶; recover the integer k via
+        // floor(q·10⁶ + 0.5) — integral in IEEE, so the long cast is
+        // exact in BOTH engines (a bare double→long cast truncates in
+        // Spark but ROUNDS in DuckDB — never cast a non-integral double)
+        .withColumn("q6",
+          floor(TextAnalysisOps.qualityCol * lit(1e6) + lit(0.5))
+            .cast("long"))
+      val dups = docs
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_uniq"))
+      val quant = docs
+        .agg(round6(expr("percentile(q6 / 1000000.0, 0.5)")).as("q_p50"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("q6")).as("sum_q6"))
+        .crossJoin(broadcast(dups))
+        .crossJoin(broadcast(quant))
+        .select(col("n_docs"), col("n_langs"), col("total_tokens"),
+          col("min_tokens"), col("max_tokens"),
+          (col("n_docs") - col("n_uniq")).as("exact_dups"),
+          round6(col("sum_q6").cast("double") /
+            (col("n_docs") * lit(1000000L)).cast("double")).as("mean_q"),
+          col("q_p50"))
+    }),
+
     // Benchmark decontamination — the check every serious training run
     // performs (GPT-3 appendix C / Dodge et al. shape): flag training
     // documents sharing too many exact word 3-gram spans with a held-out
@@ -310,6 +352,21 @@ object PipelineOps {
         "c AS (SELECT w, count(*) AS cnt FROM tokc GROUP BY w) " +
         "SELECT w, cnt FROM c, tot WHERE cnt * 50 > n " +
         "ORDER BY cnt DESC, w"),
+    "pipe_dataset_card" ->
+      ("WITH q AS (SELECT doc_id, lang, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(floor((" + TextAnalysisOps.qualitySql +
+        ") * 1000000 + 0.5) AS BIGINT) AS q6, " +
+        "md5(lower(trim(text))) AS h FROM documents), " +
+        "u AS (SELECT count(DISTINCT h) AS n_uniq FROM q), " +
+        "p AS (SELECT " + oRound6("quantile_cont(q6 / 1000000.0, 0.5)") +
+        " AS q_p50 FROM q) " +
+        "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens, " +
+        "count(*) - n_uniq AS exact_dups, " +
+        oRound6("CAST(sum(q6) AS DOUBLE) / (count(*) * 1000000)") +
+        " AS mean_q, q_p50 FROM q, u, p GROUP BY n_uniq, q_p50"),
     "pipe_decontaminate" ->
       ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks " +
         "FROM documents), " +

@@ -207,7 +207,7 @@ class PlanSpec extends SparkTestBase {
     //    n/k threshold, vocabulary size V, corpus doc count N)
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
-      "text_lm_score", "text_tfidf_top")
+      "text_lm_score", "text_tfidf_top", "pipe_dataset_card")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
