@@ -107,6 +107,19 @@ object UdxOps {
           explode(sequence(lit(1), col("l_linenumber"))).as("i"))
         .orderBy("l_orderkey", "l_linenumber", "i")),
 
+    // OUTER generate semantics: explode_outer preserves the parent row
+    // (NULL element) when the array is empty — the LEFT-join member of
+    // the generator family, and the one ingestion needs so a document
+    // with no extractable items is not silently dropped. Array is empty
+    // for every third key by construction.
+    "udtf_explode_outer" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part")
+        .withColumn("xs", expr(
+          "CASE WHEN p_partkey % 3 = 0 THEN CAST(array() AS array<int>) " +
+            "ELSE sequence(1, CAST(p_partkey % 3 AS INT)) END"))
+        .select(col("p_partkey"), explode_outer(col("xs")).as("x"))
+        .orderBy(col("p_partkey"), asc_nulls_first("x"))),
+
     // custom Generator end-to-end: the analyzer's ExtractGenerator plans
     // it into Spark's own Generate node, exactly like explode — then the
     // usual 2-phase agg tops the shingle counts
@@ -143,6 +156,14 @@ object UdxOps {
         "FROM lineitem GROUP BY 1) " +
         "SELECT l_returnflag, CAST(CAST((pq // q) * 0.01 AS DECIMAL(18,2)) AS DOUBLE) AS wavg " +
         "FROM c ORDER BY l_returnflag"),
+    "udtf_explode_outer" ->
+      ("WITH p AS (SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 " +
+        "THEN CAST([] AS BIGINT[]) " +
+        "ELSE range(1, CAST(p_partkey % 3 AS INTEGER) + 1) END AS xs " +
+        "FROM part) " +
+        "SELECT p_partkey, CAST(x AS INTEGER) AS x FROM p " +
+        "LEFT JOIN LATERAL (SELECT unnest(xs) AS x) u ON TRUE " +
+        "ORDER BY p_partkey, x NULLS FIRST"),
     "udtf_generate" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "CAST(unnest(generate_series(1, l_linenumber)) AS INTEGER) AS i " +
