@@ -24,7 +24,8 @@ object SparkEntry {
       TextSimOps.queries ++ TimeOps.queries ++ UdxOps.queries ++
       MultimodalOps.queries ++ TextAnalysisOps.queries ++
       SimilarityOps.queries ++ EtlOps.queries ++ PipelineOps.queries ++
-      GraphOps.queries ++ AnalyticsOps.queries
+      GraphOps.queries ++ AnalyticsOps.queries ++ LayoutOps.queries ++
+      SearchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
       TextSimOps.oracle ++ TimeOps.oracle ++ UdxOps.oracle ++
       MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
       SimilarityOps.oracle ++ EtlOps.oracle ++ PipelineOps.oracle ++
-      GraphOps.oracle ++ AnalyticsOps.oracle
+      GraphOps.oracle ++ AnalyticsOps.oracle ++ LayoutOps.oracle ++
+      SearchOps.oracle
 }

@@ -78,6 +78,64 @@ object EtlOps {
         .orderBy("user_id", "ver")
     }),
 
+    // Incremental aggregate maintenance (materialized-view upkeep) — the
+    // 100 TB rollup discipline: history is NEVER rescanned; the stored
+    // rollup holds mergeable partials (count + exact DECIMAL sum, both
+    // commutative monoids), a new micro-batch is aggregated alone, and
+    // the refreshed rollup is partials ∪ batch-partials → one keyed
+    // merge agg. Derived-deterministic split (event_id % 5) stands in
+    // for history/batch so the maintained result is oracle-able against
+    // a full recompute — equality IS the correctness claim of
+    // incremental maintenance. Distinct-style measures that don't form
+    // a monoid ride the same shape via sketch columns (agg_hll_sketch)
+    // or bitmaps (agg_bitmap_distinct).
+    "etl_incremental_agg" -> ((s: SparkSession, d: String) => {
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sv"))
+      val ev = events(s, d)
+      val stored = partial(ev.where(pmod(col("event_id"), lit(5)) =!= 0))
+      val batch = partial(ev.where(pmod(col("event_id"), lit(5)) === 0))
+      stored.union(batch)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sv")).cast("double").as("sum_v"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Deterministic shard assignment for dataset export — pack documents
+    // (doc_id order) into ~Target-byte shards by GLOBAL running byte
+    // offset, computed as a DISTRIBUTED TWO-LEVEL PREFIX SUM: leaf
+    // buckets (doc_id div 100) get partition-local running sums (window
+    // keyed by bucket — shuffles once, never a global sort), bucket
+    // totals collapse to a bucket-count-sized table whose own prefix sum
+    // is the only unpartitioned window (dimension-sized by construction:
+    // corpus_rows / bucket_size rows — size the bucket so this stays
+    // ~10⁶ at open scale, or recurse the same trick once more), and the
+    // broadcast offsets re-attach map-side. cum = offset + local is
+    // exact wherever the bucket boundaries fall. A doc's shard is the
+    // Target-quotient of its START offset, so boundaries are identical
+    // arithmetic in both engines.
+    "etl_shard_assign" -> ((s: SparkSession, d: String) => {
+      val target = 16384L
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("bk", expr("doc_id div 100"))
+      val wLoc = Window.partitionBy("bk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs.groupBy(col("bk"))
+        .agg(sum(col("n_chars")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("bk"), col("off"))
+      docs.withColumn("lcum", sum(col("n_chars")).over(wLoc))
+        .join(broadcast(offs), "bk")
+        .withColumn("cum", col("off") + col("lcum"))
+        .select(col("doc_id"), col("n_chars"), col("cum"),
+          expr(s"(cum - n_chars) div $target").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // MERGE INTO semantics as one declarative plan — the batch form of
     // the reference's idempotent keyed upsert (KeyedUpsertSink is the
     // sink-side twin): base ⟕⟖ updates full-outer on the key, matched
@@ -131,6 +189,16 @@ object EtlOps {
         "ts_us AS eff_from, eff_to, " +
         "CAST(eff_to IS NULL AS INTEGER) AS is_current " +
         "FROM v ORDER BY user_id, ver"),
+    "etl_incremental_agg" ->
+      ("SELECT user_id, event_type, count(*) AS cnt, " +
+        oSumDec("value") + " AS sum_v FROM events " +
+        "GROUP BY 1, 2 ORDER BY user_id, event_type"),
+    "etl_shard_assign" ->
+      ("WITH c AS (SELECT doc_id, n_chars, " +
+        "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
+        "SELECT doc_id, n_chars, cum, (cum - n_chars) // 16384 AS shard " +
+        "FROM c ORDER BY doc_id"),
     "etl_merge_upsert" ->
       ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, " +
         oMoneyOut("o_totalprice") + " AS price FROM orders), " +

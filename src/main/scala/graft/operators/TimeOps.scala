@@ -113,6 +113,19 @@ object TimeOps {
         .orderBy("user_id", "bk")
     }),
 
+    // Stream-stream interval join (view→purchase attribution within 30
+    // minutes per user) — the marquee Structured Streaming join shape,
+    // declared batch-first: the plan is EventStreams.viewPurchaseJoin,
+    // the exact code path the streaming form runs (StreamingSpec proves
+    // replay equivalence over the real readStream path). Batch physical
+    // shape: two filtered scans of one source, hash join keyed on
+    // user_id with the time band as residual — never a BNLJ; streaming
+    // shape: symmetric hash join whose per-key state the watermark +
+    // time-range condition bounds.
+    "stream_join" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.viewPurchaseJoin(events(s, d))
+        .orderBy("user_id", "view_id", "buy_id")),
+
     // Interval-overlap self-join over session intervals — the join shape
     // range/band predicates can't equi-key: pairs of DIFFERENT users
     // whose sessions overlap in time. The scale design is GRID
@@ -211,6 +224,16 @@ object TimeOps {
         "AS fill_v " +
         "FROM g LEFT JOIN per ON g.user_id = per.user_id AND g.bk = per.bk " +
         "ORDER BY g.user_id, g.bk"),
+    "stream_join" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events) " +
+        "SELECT v.user_id AS user_id, v.event_id AS view_id, " +
+        "p.event_id AS buy_id, " +
+        "p.ts_us - v.ts_us AS delay_us " +
+        "FROM e v JOIN e p ON v.user_id = p.user_id " +
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+        "AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 1800000000 " +
+        "ORDER BY user_id, view_id, buy_id"),
     "join_interval_overlap" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events), " +
         "f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR " +

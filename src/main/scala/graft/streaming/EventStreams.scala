@@ -46,6 +46,40 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("ws_us"),
         col("event_type"), col("cnt"))
 
+  /** Stream-stream interval join — view→purchase attribution within
+    * `windowUs` per user. The SAME plan serves the batch `stream_join`
+    * key and the Structured Streaming form (withWatermark is
+    * optimizer-eliminated on a batch frame), so replay equivalence is a
+    * property of one code path, not two kept in sync by hand.
+    *
+    * Scale notes: a watermarked stream-stream inner join is Spark's
+    * symmetric hash join — both sides shuffle-partitioned by user_id,
+    * per-key buffered state on each side. The time-range condition on
+    * the two EVENT-TIME columns is what makes state finite: a buffered
+    * view with v_t < watermark − window can never match a future
+    * purchase (whose p_t ≥ watermark) and is evicted, so state size is
+    * O(rows per watermark+window horizon), independent of stream
+    * length. Without the range condition the state grows unboundedly —
+    * that is the difference between a demo and an operable 100 TB
+    * ingest join. */
+  def viewPurchaseJoin(events: DataFrame,
+      windowUs: Long = 1800L * 1000000L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("v_ts"), timestamp_micros(col("ts_us")).as("v_t"))
+      .withWatermark("v_t", watermark)
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("buy_id"),
+        col("ts_us").as("p_ts"), timestamp_micros(col("ts_us")).as("p_t"))
+      .withWatermark("p_t", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_t") > col("v_t") &&
+        col("p_t") <= col("v_t") + expr(s"INTERVAL $windowUs MICROSECOND"))
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        (col("p_ts") - col("v_ts")).as("delay_us"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState — the custom-state
     * form of `window_session` (30-min gap). Emits a session as soon as a
     * later event closes it; the group's final open session stays in state

@@ -121,6 +121,30 @@ class StreamingSpec extends SparkTestBase {
     assert(!ids.contains(lateId) && ids.contains(freshId))
   }
 
+  test("stream-stream interval join replay equals the batch stream_join") {
+    // the SAME plan function (EventStreams.viewPurchaseJoin) runs over
+    // the real readStream path — chronological 2-chunk replay, symmetric
+    // hash join with watermarked state — and over the batch frame; the
+    // emitted match set must be identical (chronological replay never
+    // evicts a view before its purchase horizon has passed)
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val joined = graft.streaming.EventStreams.viewPurchaseJoin(
+      graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema))
+    val q = joined.writeStream.format("memory").queryName("sjoin_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "view_id", "buy_id", "delay_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    val got = canon(spark.table("sjoin_out"))
+    val want = canon(graft.operators.TimeOps.queries("stream_join")(spark, sf))
+    assert(want.nonEmpty, "batch stream_join produced no pairs")
+    assert(got == want,
+      s"streaming join diverged: got ${got.size} rows, want ${want.size}")
+  }
+
   test("streaming near-dup ingest equals the batch stream_neardup key") {
     // chronological replay of the documents table in doc_id-ordered
     // chunks; the streaming first-seen-wins bucket state must admit
