@@ -89,19 +89,8 @@ object EtlOps {
     // incremental maintenance. Distinct-style measures that don't form
     // a monoid ride the same shape via sketch columns (agg_hll_sketch)
     // or bitmaps (agg_bitmap_distinct).
-    "etl_incremental_agg" -> ((s: SparkSession, d: String) => {
-      def partial(df: org.apache.spark.sql.DataFrame) = df
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sv"))
-      val ev = events(s, d)
-      val stored = partial(ev.where(pmod(col("event_id"), lit(5)) =!= 0))
-      val batch = partial(ev.where(pmod(col("event_id"), lit(5)) === 0))
-      stored.union(batch)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(sum(col("cnt")).as("cnt"),
-          sum(col("sv")).cast("double").as("sum_v"))
-        .orderBy("user_id", "event_type")
-    }),
+    "etl_incremental_agg" -> ((s: SparkSession, d: String) =>
+      incrementalAgg(s, d, splitMod = 5)),
 
     // Deterministic shard assignment for dataset export — pack documents
     // (doc_id order) into ~Target-byte shards by GLOBAL running byte
@@ -116,25 +105,8 @@ object EtlOps {
     // exact wherever the bucket boundaries fall. A doc's shard is the
     // Target-quotient of its START offset, so boundaries are identical
     // arithmetic in both engines.
-    "etl_shard_assign" -> ((s: SparkSession, d: String) => {
-      val target = 16384L
-      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-        .withColumn("bk", expr("doc_id div 100"))
-      val wLoc = Window.partitionBy("bk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.orderBy("bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = docs.groupBy(col("bk"))
-        .agg(sum(col("n_chars")).as("btot"))
-        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-        .select(col("bk"), col("off"))
-      docs.withColumn("lcum", sum(col("n_chars")).over(wLoc))
-        .join(broadcast(offs), "bk")
-        .withColumn("cum", col("off") + col("lcum"))
-        .select(col("doc_id"), col("n_chars"), col("cum"),
-          expr(s"(cum - n_chars) div $target").as("shard"))
-        .orderBy("doc_id")
-    }),
+    "etl_shard_assign" -> ((s: SparkSession, d: String) =>
+      shardAssign(s, d, bucket = 100L, target = 16384L)),
 
     // MERGE INTO semantics as one declarative plan — the batch form of
     // the reference's idempotent keyed upsert (KeyedUpsertSink is the
@@ -165,6 +137,49 @@ object EtlOps {
         .agg(count(lit(1)).as("cnt"), sumDec(col("price")).as("sum_price"))
         .orderBy("status", "action")
     }))
+
+  /** Parameterized body of `etl_incremental_agg` — `splitMod` picks the
+    * derived history/batch split (event_id % splitMod == 0 is "the new
+    * batch"). InvariantSpec proves the maintained result is invariant to
+    * the split, which is exactly the monoid-merge correctness claim. */
+  private[graft] def incrementalAgg(s: SparkSession, d: String,
+      splitMod: Int): org.apache.spark.sql.DataFrame = {
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec2(col("value"))).as("sv"))
+    val ev = events(s, d)
+    val stored = partial(ev.where(pmod(col("event_id"), lit(splitMod)) =!= 0))
+    val batch = partial(ev.where(pmod(col("event_id"), lit(splitMod)) === 0))
+    stored.union(batch)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sv")).cast("double").as("sum_v"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Parameterized body of `etl_shard_assign` — `bucket` is the leaf
+    * width of the two-level prefix sum. InvariantSpec proves the output
+    * is invariant to the bucket choice (cum = offset + local is exact
+    * wherever the boundaries fall). */
+  private[graft] def shardAssign(s: SparkSession, d: String,
+      bucket: Long, target: Long): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .withColumn("bk", expr(s"doc_id div $bucket"))
+    val wLoc = Window.partitionBy("bk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy(col("bk"))
+      .agg(sum(col("n_chars")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("bk"), col("off"))
+    docs.withColumn("lcum", sum(col("n_chars")).over(wLoc))
+      .join(broadcast(offs), "bk")
+      .withColumn("cum", col("off") + col("lcum"))
+      .select(col("doc_id"), col("n_chars"), col("cum"),
+        expr(s"(cum - n_chars) div $target").as("shard"))
+      .orderBy("doc_id")
+  }
 
   val oracle: Map[String, String] = Map(
     "etl_reference_shape" ->

@@ -406,4 +406,38 @@ class InvariantSpec extends SparkTestBase {
       .distinct().count()
     assert(out.map(_.getLong(2)).sum == out.map(_.getLong(1)).sum - distinctFrames)
   }
+
+  test("etl_incremental_agg: maintained rollup is invariant to the split") {
+    // the correctness claim of incremental maintenance: merging any
+    // history/batch partition of the input through the partial-agg union
+    // yields the same rollup (count and DECIMAL sum are commutative
+    // monoids — no merge order or split choice can change the result)
+    def run(m: Int) = operators.EtlOps.incrementalAgg(spark, sf, m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val at5 = run(5)
+    assert(at5.nonEmpty)
+    assert(at5 == run(2), "split %2 diverged from %5")
+    assert(at5 == run(7), "split %7 diverged from %5")
+  }
+
+  test("etl_shard_assign: invariant to prefix-sum bucket width; shards byte-bounded") {
+    def run(b: Long) = operators.EtlOps.shardAssign(spark, sf, b, 16384L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val at100 = run(100L)
+    assert(at100.nonEmpty)
+    // two-level prefix-sum exactness: leaf bucket width is an internal
+    // knob, the global cumulative offsets cannot depend on it
+    assert(at100 == run(37L), "bucket width changed the assignment")
+    // shard ids are contiguous from 0 and each shard's bytes stay under
+    // target + its own last doc (a doc never splits across shards)
+    val byShard = at100.groupBy(_._4).toSeq.sortBy(_._1)
+    assert(byShard.map(_._1) == (0L until byShard.size.toLong))
+    byShard.foreach { case (sid, ds) =>
+      val bytes = ds.map(_._2).sum
+      assert(bytes < 16384L + ds.map(_._2).max,
+        s"shard $sid holds $bytes bytes")
+    }
+  }
 }

@@ -205,9 +205,13 @@ class PlanSpec extends SparkTestBase {
     //  - agg_heavy_hitters / text_lm_score / text_tfidf_top: 1×N
     //    broadcast of a 1-row global aggregate (scalar attach for the
     //    n/k threshold, vocabulary size V, corpus doc count N)
+    //  - search_rrf_hybrid: 1×N broadcast attaches of the 1-row query
+    //    embedding (dense side, the knn_cosine shape) and the 1-row
+    //    corpus-count aggregate (idf denominator)
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
-      "text_lm_score", "text_tfidf_top", "pipe_dataset_card")
+      "text_lm_score", "text_tfidf_top", "pipe_dataset_card",
+      "search_rrf_hybrid")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
