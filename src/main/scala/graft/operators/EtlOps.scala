@@ -108,6 +108,47 @@ object EtlOps {
     "etl_shard_assign" -> ((s: SparkSession, d: String) =>
       shardAssign(s, d, bucket = 100L, target = 16384L)),
 
+    // CDC changelog apply — the third member of the upsert family
+    // (KeyedUpsertSink = sink-side, etl_merge_upsert = 2-way MERGE,
+    // this = versioned I/U/D log): collapse a change log to its latest
+    // operation per key with ONE argmax agg (max(struct(ver, ...)) —
+    // exact, merge-order independent, never a window over the log),
+    // then ONE full-outer key join applies it to the base snapshot:
+    // latest op D drops the key, U overrides values, I lands new keys,
+    // untouched base rows pass through. The log is derived
+    // deterministically from orders (key%7 → v1 update, key%21 → v2
+    // delete, key%50 → insert under a fresh key) so the applied state
+    // is oracle-able. Scale shape: log shuffle is key-partitioned
+    // 2-phase agg, the apply is one equi sort-merge join —
+    // out-of-order/duplicate log entries cost nothing extra.
+    "etl_cdc_apply" -> ((s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"), moneyOut(col("o_totalprice")).as("pr"))
+      val log = o.where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").as("k"), lit(1).as("ver"), lit("U").as("op"),
+          lit("X").as("st2"), (dec2(col("o_totalprice")) + lit(10))
+            .cast("double").as("pr2"))
+        .union(o.where(pmod(col("o_orderkey"), lit(21)) === 0)
+          .select(col("o_orderkey").as("k"), lit(2).as("ver"),
+            lit("D").as("op"), lit(null).cast("string").as("st2"),
+            lit(null).cast("double").as("pr2")))
+        .union(o.where(pmod(col("o_orderkey"), lit(50)) === 0)
+          .select((col("o_orderkey") + 2000000000L).as("k"), lit(1).as("ver"),
+            lit("I").as("op"), lit("N").as("st2"),
+            moneyOut(col("o_totalprice")).as("pr2")))
+      val latest = log.groupBy(col("k"))
+        .agg(max(struct(col("ver"), col("op"), col("st2"), col("pr2")))
+          .as("l"))
+        .select(col("k"), col("l.op").as("op"), col("l.st2").as("st2"),
+          col("l.pr2").as("pr2"))
+      base.join(latest, Seq("k"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("k"), coalesce(col("st2"), col("st")).as("status"),
+          coalesce(col("pr2"), col("pr")).as("price"))
+        .orderBy("k")
+    }),
+
     // MERGE INTO semantics as one declarative plan — the batch form of
     // the reference's idempotent keyed upsert (KeyedUpsertSink is the
     // sink-side twin): base ⟕⟖ updates full-outer on the key, matched
@@ -214,6 +255,24 @@ object EtlOps {
         "PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
         "SELECT doc_id, n_chars, cum, (cum - n_chars) // 16384 AS shard " +
         "FROM c ORDER BY doc_id"),
+    "etl_cdc_apply" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, " +
+        oMoneyOut("o_totalprice") + " AS pr FROM orders), " +
+        "log AS (SELECT o_orderkey AS k, 1 AS ver, 'U' AS op, 'X' AS st2, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE) AS pr2 " +
+        "FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL FROM orders " +
+        "WHERE o_orderkey % 21 = 0 " +
+        "UNION ALL SELECT o_orderkey + 2000000000, 1, 'I', 'N', " +
+        oMoneyOut("o_totalprice") + " FROM orders " +
+        "WHERE o_orderkey % 50 = 0), " +
+        "lat AS (SELECT *, row_number() OVER (PARTITION BY k " +
+        "ORDER BY ver DESC) AS rn FROM log), " +
+        "l1 AS (SELECT k, op, st2, pr2 FROM lat WHERE rn = 1) " +
+        "SELECT coalesce(base.k, l1.k) AS k, " +
+        "coalesce(st2, st) AS status, coalesce(pr2, pr) AS price " +
+        "FROM base FULL JOIN l1 ON base.k = l1.k " +
+        "WHERE op IS NULL OR op <> 'D' ORDER BY k"),
     "etl_merge_upsert" ->
       ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, " +
         oMoneyOut("o_totalprice") + " AS price FROM orders), " +
