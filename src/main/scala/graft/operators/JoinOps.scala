@@ -217,6 +217,48 @@ object JoinOps {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           coalesce(col("signup_ts"), lit(-1L)).as("signup_ts"))
         .orderBy("event_id")
+    }),
+
+    // Nearest-in-time as-of join within a tolerance (pandas merge_asof
+    // direction="nearest"): each purchase pairs with the CLOSEST error
+    // event of the same user within ±1 h, ties to the earlier right
+    // event; unmatched purchases survive with NULLs. The windowed trick
+    // join_asof uses is one-directional (an ever-growing frame can look
+    // back, not both ways), so this is the grid-bucket shape instead:
+    // the left side explodes to its 3 covering tolerance buckets (the
+    // right keeps its single home bucket, so each candidate pair meets
+    // exactly once — no dedup shuffle), candidates equi-join on
+    // (user, bucket) with the true |Δ| ≤ T predicate as a residual, and
+    // ONE argmin agg — min(struct(|Δ|, r_ts, r_id)), exact and
+    // merge-order independent — picks the nearest, never a window sort
+    // over the candidates. Left replication is the constant 3;
+    // candidates are bounded by per-(user, bucket) populations — at
+    // 100 TB both join and agg are plain keyed shuffles,
+    // AQE-skew-splittable, no pair space.
+    "join_asof_nearest" -> ((s: SparkSession, d: String) => {
+      val tolUs = 3600L * 1000000L
+      val e = events(s, d)
+      val l = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("l_id"), col("user_id"),
+          col("ts_us").as("l_ts"))
+      val r = e.where(col("event_type") === "error")
+        .select(col("event_id").as("r_id"), col("user_id").as("ru"),
+          col("ts_us").as("r_ts"), expr(s"ts_us div $tolUs").as("rb"))
+      val lx = l.withColumn("bk", explode(array(
+        expr(s"l_ts div $tolUs - 1"), expr(s"l_ts div $tolUs"),
+        expr(s"l_ts div $tolUs + 1"))))
+      val near = lx.join(r, col("user_id") === col("ru") &&
+          col("bk") === col("rb") &&
+          abs(col("l_ts") - col("r_ts")) <= tolUs)
+        .groupBy(col("l_id"))
+        .agg(min(struct(abs(col("l_ts") - col("r_ts")).as("ad"),
+          col("r_ts"), col("r_id"))).as("n"))
+        .select(col("l_id").as("nl"), col("n.r_id").as("r_id"),
+          col("n.r_ts").as("r_ts"), col("n.ad").as("delta_us"))
+      l.join(near, col("l_id") === col("nl"), "left")
+        .select(col("l_id"), col("user_id"), col("l_ts"), col("r_id"),
+          col("r_ts"), col("delta_us"))
+        .orderBy("l_id")
     }))
 
   /** Dialect-neutral correlated-LATERAL text — the string IS the oracle
@@ -298,5 +340,21 @@ object JoinOps {
         "max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER " +
         "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts " +
-        "FROM events) ORDER BY event_id"))
+        "FROM events) ORDER BY event_id"),
+    "join_asof_nearest" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "l AS (SELECT event_id AS l_id, user_id, ts_us AS l_ts FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "r AS (SELECT event_id AS r_id, user_id AS ru, ts_us AS r_ts " +
+        "FROM e WHERE event_type = 'error'), " +
+        "c AS (SELECT l_id, r_id, r_ts, abs(l_ts - r_ts) AS ad " +
+        "FROM l JOIN r ON user_id = ru " +
+        "AND abs(l_ts - r_ts) <= 3600000000), " +
+        "n AS (SELECT *, row_number() OVER (PARTITION BY l_id " +
+        "ORDER BY ad, r_ts, r_id) AS rn FROM c) " +
+        "SELECT l.l_id, l.user_id, l.l_ts, n.r_id, n.r_ts, " +
+        "n.ad AS delta_us " +
+        "FROM l LEFT JOIN (SELECT * FROM n WHERE rn = 1) n " +
+        "ON l.l_id = n.l_id ORDER BY l.l_id"))
 }
