@@ -126,6 +126,20 @@ object TimeOps {
       graft.streaming.EventStreams.viewPurchaseJoin(events(s, d))
         .orderBy("user_id", "view_id", "buy_id")),
 
+    // LEFT OUTER stream-stream join — the semantics inner joins can't
+    // give an attribution pipeline: views that never converted within
+    // the window survive with NULLs. In streaming this is the
+    // watermark-EXPIRY emission path (a null-matched row can only be
+    // emitted once the watermark proves no matching purchase can still
+    // arrive — state expiry IS the outer join); StreamingSpec proves
+    // replay equivalence using a watermark-flush sentinel. Same plan
+    // function, same bounded state as stream_join.
+    "stream_join_outer" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.viewPurchaseJoin(events(s, d),
+          joinType = "left_outer")
+        .orderBy(col("user_id"), col("view_id"),
+          asc_nulls_first("buy_id"))),
+
     // Interval-overlap self-join over session intervals — the join shape
     // range/band predicates can't equi-key: pairs of DIFFERENT users
     // whose sessions overlap in time. The scale design is GRID
@@ -234,6 +248,18 @@ object TimeOps {
         "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
         "AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 1800000000 " +
         "ORDER BY user_id, view_id, buy_id"),
+    "stream_join_outer" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "v AS (SELECT user_id, event_id AS view_id, ts_us AS v_ts FROM e " +
+        "WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id AS pu, event_id AS buy_id, ts_us AS p_ts " +
+        "FROM e WHERE event_type = 'purchase') " +
+        "SELECT v.user_id AS user_id, v.view_id, p.buy_id, " +
+        "p.p_ts - v.v_ts AS delay_us " +
+        "FROM v LEFT JOIN p ON v.user_id = p.pu " +
+        "AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + 1800000000 " +
+        "ORDER BY user_id, view_id, buy_id NULLS FIRST"),
     "join_interval_overlap" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events), " +
         "f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR " +

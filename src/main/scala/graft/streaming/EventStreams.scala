@@ -64,7 +64,8 @@ object EventStreams {
     * ingest join. */
   def viewPurchaseJoin(events: DataFrame,
       windowUs: Long = 1800L * 1000000L,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val v = events.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts_us").as("v_ts"), timestamp_micros(col("ts_us")).as("v_t"))
@@ -75,7 +76,8 @@ object EventStreams {
       .withWatermark("p_t", watermark)
     v.join(p, col("user_id") === col("p_user") &&
         col("p_t") > col("v_t") &&
-        col("p_t") <= col("v_t") + expr(s"INTERVAL $windowUs MICROSECOND"))
+        col("p_t") <= col("v_t") + expr(s"INTERVAL $windowUs MICROSECOND"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("buy_id"),
         (col("p_ts") - col("v_ts")).as("delay_us"))
   }

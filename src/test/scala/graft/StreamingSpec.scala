@@ -145,6 +145,52 @@ class StreamingSpec extends SparkTestBase {
       s"streaming join diverged: got ${got.size} rows, want ${want.size}")
   }
 
+  test("left-outer stream-stream join emits null matches on watermark expiry") {
+    // outer rows can only be emitted once the watermark proves no
+    // matching purchase can still arrive, so the replay appends a final
+    // sentinel chunk — one far-future view AND one far-future purchase
+    // under a user id that matches nothing — that pushes BOTH sides'
+    // watermarks past every real row's horizon; after that flush the
+    // streaming left-outer result (minus the sentinel rows) must equal
+    // the batch key exactly, null matches included
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val maxTs = graft.Tables.events(spark, sf)
+      .agg(max(col("ts_us"))).head.getLong(0)
+    val sentinelUser = 999999L
+    val ss = spark
+    import ss.implicits._
+    val f = new java.io.File(dir, "chunk9")
+    Seq((9000101L, maxTs + 7200L * 1000000L, sentinelUser, "view", 0.0),
+      (9000102L, maxTs + 7200L * 1000000L, sentinelUser, "purchase", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(f.toString)
+    val ts = System.currentTimeMillis() - 30000
+    f.listFiles().foreach(_.setLastModified(ts))
+    f.setLastModified(ts)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    val joined = graft.streaming.EventStreams.viewPurchaseJoin(
+      graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("sjoin_outer_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("user_id") =!= sentinelUser)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+    val got = canon(spark.table("sjoin_outer_out")
+      .select("user_id", "view_id", "buy_id", "delay_us"))
+    val want = canon(
+      graft.operators.TimeOps.queries("stream_join_outer")(spark, sf)
+        .select("user_id", "view_id", "buy_id", "delay_us"))
+    assert(want.count(_._3 == -1L) > 0, "corpus has no unconverted views")
+    assert(got == want,
+      s"streaming left-outer diverged: got ${got.size} rows " +
+        s"(${got.count(_._3 == -1L)} null-matched), want ${want.size} " +
+        s"(${want.count(_._3 == -1L)} null-matched)")
+  }
+
   test("streaming near-dup ingest equals the batch stream_neardup key") {
     // chronological replay of the documents table in doc_id-ordered
     // chunks; the streaming first-seen-wins bucket state must admit
