@@ -236,30 +236,44 @@ object JoinOps {
     // 100 TB both join and agg are plain keyed shuffles,
     // AQE-skew-splittable, no pair space.
     "join_asof_nearest" -> ((s: SparkSession, d: String) => {
-      val tolUs = 3600L * 1000000L
       val e = events(s, d)
-      val l = e.where(col("event_type") === "purchase")
-        .select(col("event_id").as("l_id"), col("user_id"),
-          col("ts_us").as("l_ts"))
-      val r = e.where(col("event_type") === "error")
-        .select(col("event_id").as("r_id"), col("user_id").as("ru"),
-          col("ts_us").as("r_ts"), expr(s"ts_us div $tolUs").as("rb"))
-      val lx = l.withColumn("bk", explode(array(
-        expr(s"l_ts div $tolUs - 1"), expr(s"l_ts div $tolUs"),
-        expr(s"l_ts div $tolUs + 1"))))
-      val near = lx.join(r, col("user_id") === col("ru") &&
-          col("bk") === col("rb") &&
-          abs(col("l_ts") - col("r_ts")) <= tolUs)
-        .groupBy(col("l_id"))
-        .agg(min(struct(abs(col("l_ts") - col("r_ts")).as("ad"),
-          col("r_ts"), col("r_id"))).as("n"))
-        .select(col("l_id").as("nl"), col("n.r_id").as("r_id"),
-          col("n.r_ts").as("r_ts"), col("n.ad").as("delta_us"))
-      l.join(near, col("l_id") === col("nl"), "left")
-        .select(col("l_id"), col("user_id"), col("l_ts"), col("r_id"),
-          col("r_ts"), col("delta_us"))
+      nearestJoin(
+        e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("l_id"), col("user_id"),
+            col("ts_us").as("l_ts")),
+        e.where(col("event_type") === "error")
+          .select(col("event_id").as("r_id"), col("user_id").as("ru"),
+            col("ts_us").as("r_ts")),
+        3600L * 1000000L)
         .orderBy("l_id")
     }))
+
+  /** Grid-bucketed nearest-within-tolerance join (see the
+    * `join_asof_nearest` entry above for the design notes): left rows
+    * (l_id, user_id, l_ts) each pair with the single closest right row
+    * (r_id, ru, r_ts) of the same user with |Δts| ≤ tolUs, ties to the
+    * earlier (r_ts, r_id); unmatched left rows survive with NULLs.
+    * Factored out so RewriteEquivalenceSpec can fuzz it against a
+    * brute-force nearest on adversarial synthetic timelines. */
+  private[graft] def nearestJoin(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      tolUs: Long): org.apache.spark.sql.DataFrame = {
+    val rb = r.withColumn("rb", expr(s"r_ts div $tolUs"))
+    val lx = l.withColumn("bk", explode(array(
+      expr(s"l_ts div $tolUs - 1"), expr(s"l_ts div $tolUs"),
+      expr(s"l_ts div $tolUs + 1"))))
+    val near = lx.join(rb, col("user_id") === col("ru") &&
+        col("bk") === col("rb") &&
+        abs(col("l_ts") - col("r_ts")) <= tolUs)
+      .groupBy(col("l_id"))
+      .agg(min(struct(abs(col("l_ts") - col("r_ts")).as("ad"),
+        col("r_ts"), col("r_id"))).as("n"))
+      .select(col("l_id").as("nl"), col("n.r_id").as("r_id"),
+        col("n.r_ts").as("r_ts"), col("n.ad").as("delta_us"))
+    l.join(near, col("l_id") === col("nl"), "left")
+      .select(col("l_id"), col("user_id"), col("l_ts"), col("r_id"),
+        col("r_ts"), col("delta_us"))
+  }
 
   /** Dialect-neutral correlated-LATERAL text — the string IS the oracle
     * (executed verbatim by both engines). */

@@ -147,6 +147,40 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("grid-bucketed nearest join equals brute force on adversarial timelines") {
+    val ss = spark
+    import ss.implicits._
+    val tol = 100L // small tolerance to force boundary cases
+    for (trial <- 1 to 3) {
+      val nl = 150; val nr = 150
+      def ts(): Long = rnd.nextInt(20) match {
+        case 0 => rnd.nextInt(10) * tol       // bucket-aligned
+        case 1 => rnd.nextInt(10) * tol - 1   // one before boundary
+        case _ => rnd.nextInt(1000).toLong
+      }
+      val ls = (0 until nl).map(i => ((i % 23).toLong, i.toLong, ts()))
+      val rs = (0 until nr).map(i => ((i % 23).toLong,
+        1000L + i, ts()))
+      val l = ls.toDF("user_id", "l_id", "l_ts")
+        .select(col("l_id"), col("user_id"), col("l_ts"))
+      val r = rs.toDF("ru", "r_id", "r_ts")
+        .select(col("r_id"), col("ru"), col("r_ts"))
+      val got = operators.JoinOps.nearestJoin(l, r, tol)
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(3)) -1L else x.getLong(3),
+          if (x.isNullAt(5)) -1L else x.getLong(5))).toSet
+      val want = ls.map { case (u, lid, lts) =>
+        val cand = rs.filter(x => x._1 == u && math.abs(lts - x._3) <= tol)
+          .map(x => (math.abs(lts - x._3), x._3, x._2))
+        if (cand.isEmpty) (lid, -1L, -1L)
+        else { val m = cand.min; (lid, m._3, m._1) }
+      }.toSet
+      assert(got == want, s"trial $trial: ${got.size} vs ${want.size}")
+      // every trial must exercise both matched and unmatched left rows
+      assert(want.exists(_._2 == -1L) && want.exists(_._2 != -1L))
+    }
+  }
+
   test("ShingleGenerator equals the declarative transform(sequence) form") {
     val ss = spark
     import ss.implicits._
