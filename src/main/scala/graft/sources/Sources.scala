@@ -98,6 +98,39 @@ final class BucketedParquetSink(numBuckets: Int, bucketCols: Seq[String])
       .saveAsTable(table)
 }
 
+/** Size-aware compaction sink — the small-file remedy: streaming
+  * ingestion (one file per micro-batch per partition) and fine-grained
+  * upserts fragment a table into thousands of KB-sized files, and at
+  * 100 TB file-open/footer overhead then dominates scan time and driver
+  * file-listing memory. Compaction = read the fragmented table, coalesce
+  * to ceil(input_bytes / targetBytes) files, rewrite. Uses
+  * `repartition` (round-robin, parallel) rather than `coalesce`:
+  * coalesce(n) would collapse the READ parallelism of the upstream scan
+  * to n tasks, while a rewrite wants full-width reads feeding n writers;
+  * the one extra shuffle is the price of balanced output files
+  * (round-robin gives uniform rows/file regardless of input skew).
+  * Input size comes from the file system listing, not a data scan, so
+  * planning is metadata-only. The real-cluster refinement (per-partition
+  * compaction with a bin-packing file assignment, as table formats'
+  * OPTIMIZE does) keeps this exact shape per partition directory. */
+final class CompactingParquetSink(root: String, targetBytes: Long)
+  extends Sink {
+  override def write(df: DataFrame, table: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val fs = path.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/__compact_$table")
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // atomic-ish swap: the compacted directory replaces the fragmented
+    // one only after a complete successful write (rename is atomic per
+    // directory on HDFS-like file systems)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+}
+
 /** Idempotent keyed upsert semantics (the reference's Cassandra write
   * discipline): within a batch, exactly one row per key survives —
   * deterministically the one with the highest `versionCol`, with

@@ -27,6 +27,31 @@ class SourceSinkSpec extends SparkTestBase {
     }
   }
 
+  test("CompactingParquetSink collapses a fragmented table, content intact") {
+    val root = tmp()
+    // fragment: 40 micro-batch-sized files (the streaming-ingest shape)
+    li.repartition(40).write.parquet(s"$root/t")
+    def files() = new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 40, s"fixture not fragmented: $before files")
+    val bytes = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target a quarter of the input → expect ~4 balanced output files
+    val frag = spark.read.parquet(s"$root/t")
+    new CompactingParquetSink(root, bytes / 4 + 1).write(frag, "t")
+    val after = files()
+    assert(after <= 5, s"compaction left $after files (from $before)")
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() == li.count())
+    // (l_orderkey, l_linenumber) repeats in the raw corpus (FIXTURES.md),
+    // so no column subset is a total order — compare the full-row
+    // multiset, sorted on the row's entire string form
+    val a = li.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    assert(a.sameElements(b), "compaction altered table content")
+  }
+
   test("KeyedUpsertSink keeps exactly the max-version row per key") {
     val root = tmp()
     val sink = new KeyedUpsertSink(new ParquetSink(root),
