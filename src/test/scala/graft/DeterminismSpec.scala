@@ -11,4 +11,27 @@ class DeterminismSpec extends SparkTestBase {
       assert(a == b, s"$name differs between runs")
     }
   }
+
+  // Partition-count invariance — the cross-scale half of the policy,
+  // checked in-process: a different shuffle width changes partial-agg
+  // merge ORDER, which is exactly what DESIGN §2's exact-accumulation
+  // rules (DECIMAL sums, fixed-point integers, struct-extreme argmax)
+  // must be immune to. Representative keys cover each exact-arithmetic
+  // family: decimal money sums, second moments, fixed-point iterative
+  // PageRank, the partial-merge rollup, and a float-derived round6.
+  for (key <- Seq("agg_groupby", "agg_stats_exact", "graph_pagerank",
+      "etl_incremental_agg", "text_quality")) {
+    test(s"$key is invariant to the shuffle partition count") {
+      val conf = "spark.sql.shuffle.partitions"
+      val before = spark.conf.get(conf)
+      val at4 = SparkEntry.queries(key)(spark, sf)
+        .collect().map(_.toString).toSeq
+      try {
+        spark.conf.set(conf, "7")
+        val at7 = SparkEntry.queries(key)(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(at4 == at7, s"$key changed under a different shuffle width")
+      } finally spark.conf.set(conf, before)
+    }
+  }
 }
