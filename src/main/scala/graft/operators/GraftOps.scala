@@ -48,4 +48,42 @@ object GraftOps {
           SortOrder(attr(n), if (asc) Ascending else Descending) },
         k, plan))
   }
+
+  /** Nearest-within-tolerance join (pandas merge_asof "nearest"): each
+    * left row (columns `l_id`, `user_id`, `l_ts`) pairs with the single
+    * closest right row (columns `r_id`, `ru`, `r_ts`) of the same key
+    * with |Δts| ≤ tolUs; ties go to the earlier (r_ts, r_id), unmatched
+    * left rows survive with NULLs. Grid-bucketed equi-join + one argmin
+    * struct agg — no window over candidates, no nested loop; fuzzed vs
+    * brute force in RewriteEquivalenceSpec. */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+      tolUs: Long): DataFrame =
+    JoinOps.nearestJoin(left, right, tolUs)
+
+  /** Interval-overlap self-join over (user_id, sid, s0, s1) intervals:
+    * pairs of DIFFERENT user_ids whose [s0, s1] overlap, each emitted
+    * exactly once. Grid bucketing of width `bucketUs` (equi-join +
+    * residual predicate + first-common-bucket dedup — never a BNLJ);
+    * fuzzed vs brute force in RewriteEquivalenceSpec. */
+  def intervalOverlapJoin(intervals: DataFrame,
+      bucketUs: Long): DataFrame =
+    TimeOps.overlapPairs(intervals, bucketUs)
+
+  /** Morton (z-order) value of two non-negative integer columns' low 8
+    * bits — the write-time clustering key: sort/range-partition by this
+    * and every output file's min/max stats stay narrow in BOTH
+    * dimensions (LayoutSpec measures the effect on real parquet files).
+    * Pure codegen'd integer expression. */
+  def zorderValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    LayoutOps.zval(a, b)
+
+  /** Exact word-level Jaccard pairs at τ = tauPct/100 over a
+    * `documents(doc_id, text)` parquet directory — the AllPairs/PPJoin
+    * prefix-filter formulation (candidate recall exactly 1, proof in
+    * [[TextSimOps]]); equals brute force on random corpora
+    * (RewriteEquivalenceSpec). */
+  def jaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tauPct: Int): DataFrame =
+    TextSimOps.exactWordPairs(spark, sfDir, tauPct)
 }

@@ -17,6 +17,28 @@ class OperatorSmokeSpec extends SparkTestBase {
     }
   }
 
+  test("GraftOps public facade delegates to the shipped primitives") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    // zorderValue: bijective interleave on a known pair
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(operators.GraftOps.zorderValue(col("a"), col("b")))
+      .head.getLong(0)
+    assert(z == 0x27L, s"zorder(3,5) = $z") // 3=0b11→bits 0,2; 5=0b101→bits 1,5
+    // nearestJoin: one obvious match
+    val l = Seq((1L, 7L, 100L)).toDF("l_id", "user_id", "l_ts")
+    val r = Seq((9L, 7L, 130L), (8L, 7L, 160L)).toDF("r_id", "ru", "r_ts")
+    val nj = operators.GraftOps.nearestJoin(l, r, 1000L).head
+    assert(nj.getLong(3) == 9L && nj.getLong(5) == 30L)
+    // intervalOverlapJoin: two users overlapping
+    val iv = Seq((1L, 1L, 0L, 50L), (2L, 1L, 40L, 90L))
+      .toDF("user_id", "sid", "s0", "s1")
+    assert(operators.GraftOps.intervalOverlapJoin(iv, 100L).count() == 1)
+    // jaccardPairs: runs on the corpus directory
+    assert(operators.GraftOps.jaccardPairs(spark, sf, 90).count() >= 0)
+  }
+
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
