@@ -180,6 +180,38 @@ object AggOps {
         .orderBy("lang")
     }),
 
+    // ⊘ Count-min sketch COLUMNS (r4) — the frequency twin of
+    // agg_hll_sketch's distinct counting, completing the mergeable-
+    // sketch shelf (HLL distinct / MG heavy hitters / GK quantiles /
+    // bitmap exact / CMS frequency): per-language token-frequency
+    // sketches via the builtin count_min_sketch aggregate, rolled up to
+    // a corpus sketch by [[CmsMergeAgg]], a typed Aggregator over the
+    // serialized form (counter arrays ADD, so merge is commutative,
+    // associative, and — with a fixed seed — byte-deterministic;
+    // InvariantSpec asserts union-of-partials equals the directly-built
+    // global sketch BYTE-FOR-BYTE, plus the ε·N point-query bound).
+    // At 100 TB the per-partition/per-day sketches persist and every
+    // profiling query is a metadata-sized merge, never a raw rescan.
+    // The key's output is the sketch fingerprint (md5 + size) per lang:
+    // estimates are intentionally NOT a query column — reading them
+    // needs a deserializing UDF, and the no-UDF-in-hot-path discipline
+    // (SURVEY §2.10) keeps the one declared scalar UDF the only one.
+    "agg_cms_sketch" -> ((s: SparkSession, d: String) => {
+      val tok = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val per = tok.groupBy(col("lang"))
+        .agg(count_min_sketch(col("w"), lit(0.001d), lit(0.99d), lit(42))
+          .as("sk"))
+      val cmsUnion = udaf(CmsMergeAgg,
+        org.apache.spark.sql.Encoders.BINARY)
+      per.select(col("lang"), md5(col("sk")).as("sk_md5"),
+          octet_length(col("sk")).as("sk_bytes"))
+        .union(per.agg(cmsUnion(col("sk")).as("u"))
+          .select(lit("ALL").as("lang"), md5(col("u")).as("sk_md5"),
+            octet_length(col("u")).as("sk_bytes")))
+        .orderBy("lang")
+    }),
+
     // Exact second-moment statistics (r4): mean / var_samp / stddev are
     // normally un-oracle-able — both engines' builtin stddev folds
     // doubles in merge order, so the result is partition-order
@@ -392,4 +424,36 @@ object AggOps {
         "UNION ALL " +
         "SELECT l_returnflag, 'sum_o' AS status, sum_o AS sum_price FROM p " +
         "ORDER BY l_returnflag, status"))
+}
+
+/** Union of serialized count-min sketches: counter arrays add, so the
+  * merge is commutative + associative and, with a fixed seed, the
+  * merged serialization is byte-deterministic — the property that makes
+  * CMS columns safe to persist per partition and roll up by merge
+  * (same depth/width/seed required; CountMinSketch.mergeInPlace
+  * enforces that). Null-safe zero so empty partitions merge cleanly. */
+object CmsMergeAgg extends org.apache.spark.sql.expressions
+    .Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  import org.apache.spark.util.sketch.CountMinSketch
+  private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+      sa.mergeInPlace(
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      val out = new java.io.ByteArrayOutputStream()
+      sa.writeTo(out)
+      out.toByteArray
+    }
+  override def zero: Array[Byte] = null
+  override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+    merge2(buf, in)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    merge2(a, b)
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }

@@ -407,6 +407,46 @@ class InvariantSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).sum == out.map(_.getLong(1)).sum - distinctFrames)
   }
 
+  test("agg_cms_sketch: union == direct global sketch byte-for-byte; eps*N bound holds") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tok = graft.Tables.t(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val per = tok.groupBy(col("lang"))
+      .agg(count_min_sketch(col("w"), lit(0.001d), lit(0.99d), lit(42))
+        .as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(per.size >= 2, "corpus has fewer than 2 languages")
+    // union of per-language partials, merged in arbitrary map order
+    val union = per.values.reduce { (a, b) =>
+      val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+      sa.mergeInPlace(
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      val out = new java.io.ByteArrayOutputStream(); sa.writeTo(out)
+      out.toByteArray
+    }
+    // directly-built global sketch over the same rows
+    val direct = tok
+      .agg(count_min_sketch(col("w"), lit(0.001d), lit(0.99d), lit(42))
+        .as("sk"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(union, direct),
+      "merged partials differ from the directly-built global sketch")
+    // point-query guarantee on the 5 most frequent tokens: the estimate
+    // never undercounts, and overcounts by at most eps * N (eps=0.001,
+    // N = total token occurrences; deterministic given the fixed seed)
+    val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(direct))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = tok.count()
+    counts.foreach { case (w, c) =>
+      val est = sk.estimateCount(w)
+      assert(est >= c, s"CMS undercounted '$w': $est < $c")
+      assert(est <= c + math.ceil(0.001 * n).toLong,
+        s"CMS overcounted '$w' beyond eps*N: $est vs $c (N=$n)")
+    }
+  }
+
   test("etl_incremental_agg: maintained rollup is invariant to the split") {
     // the correctness claim of incremental maintenance: merging any
     // history/batch partition of the input through the partial-agg union
