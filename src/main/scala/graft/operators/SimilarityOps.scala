@@ -93,7 +93,7 @@ object SimilarityOps {
     * across runs and partitionings. */
   private val IvfNlist = 16
   private val IvfNprobe = 6
-  private lazy val ivfCentroids: IndexedSeq[Array[Float]] = {
+  private[graft] lazy val ivfCentroids: IndexedSeq[Array[Float]] = {
     val rnd = new scala.util.Random(7L)
     IndexedSeq.fill(IvfNlist) {
       val v = Array.fill(64)(rnd.nextDouble() * 2 - 1)

@@ -74,6 +74,32 @@ class ExtOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("one spherical k-means step never decreases the cosine objective") {
+    // the Lloyd-step training claim behind ivfMeans: re-assign under the
+    // trained centroids and the summed best-cosine objective must be ≥
+    // the seeded centroids' objective (assignment maximizes per vector;
+    // the L2-normalized per-cell mean maximizes the within-cell dot sum
+    // — both steps are monotone, so the inequality is exact math, not a
+    // tuning outcome)
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(vecs.nonEmpty)
+    def obj(cents: Seq[Array[Float]]): Double =
+      vecs.map { v =>
+        cents.map(c => c.zip(v).map { case (a, b) =>
+          a.toDouble * b.toDouble }.sum).max
+      }.sum
+    val seeded = operators.SimilarityOps.ivfCentroids
+    val trained = operators.SimilarityOps.ivfMeans(emb).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    assert(trained.nonEmpty && trained.head.length == seeded.head.length)
+    val (o0, o1) = (obj(seeded), obj(trained))
+    info(f"spherical k-means objective: seeded $o0%.4f -> trained $o1%.4f")
+    assert(o1 >= o0 - 1e-6,
+      s"Lloyd step decreased the objective: $o0 -> $o1")
+  }
+
   test("dedup_embed pairs are symmetric-free and above threshold") {
     val out = SparkEntry.queries("dedup_embed")(spark, sf).collect()
     assert(out.nonEmpty)
