@@ -137,16 +137,7 @@ object EtlOps {
           .select((col("o_orderkey") + 2000000000L).as("k"), lit(1).as("ver"),
             lit("I").as("op"), lit("N").as("st2"),
             moneyOut(col("o_totalprice")).as("pr2")))
-      val latest = log.groupBy(col("k"))
-        .agg(max(struct(col("ver"), col("op"), col("st2"), col("pr2")))
-          .as("l"))
-        .select(col("k"), col("l.op").as("op"), col("l.st2").as("st2"),
-          col("l.pr2").as("pr2"))
-      base.join(latest, Seq("k"), "full_outer")
-        .where(col("op").isNull || col("op") =!= "D")
-        .select(col("k"), coalesce(col("st2"), col("st")).as("status"),
-          coalesce(col("pr2"), col("pr")).as("price"))
-        .orderBy("k")
+      cdcApply(base, log).orderBy("k")
     }),
 
     // MERGE INTO semantics as one declarative plan — the batch form of
@@ -178,6 +169,27 @@ object EtlOps {
         .agg(count(lit(1)).as("cnt"), sumDec(col("price")).as("sum_price"))
         .orderBy("status", "action")
     }))
+
+  /** Parameterized body of `etl_cdc_apply`: apply a change log
+    * (k, ver, op ∈ I/U/D, st2, pr2) to a base snapshot (k, st, pr).
+    * The latest (highest-ver) op per key wins — versions should be
+    * unique per key; equal-version duplicates resolve by the
+    * struct-lexicographic max over (op, st2, pr2), deterministic but
+    * semantically arbitrary, exactly like KeyedUpsertSink's payload
+    * tie-break. Fuzzed against an in-memory reference in
+    * RewriteEquivalenceSpec. */
+  private[graft] def cdcApply(base: org.apache.spark.sql.DataFrame,
+      log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val latest = log.groupBy(col("k"))
+      .agg(max(struct(col("ver"), col("op"), col("st2"), col("pr2")))
+        .as("l"))
+      .select(col("k"), col("l.op").as("op"), col("l.st2").as("st2"),
+        col("l.pr2").as("pr2"))
+    base.join(latest, Seq("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("k"), coalesce(col("st2"), col("st")).as("status"),
+        coalesce(col("pr2"), col("pr")).as("price"))
+  }
 
   /** Parameterized body of `etl_incremental_agg` — `splitMod` picks the
     * derived history/batch split (event_id % splitMod == 0 is "the new

@@ -181,6 +181,47 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("cdcApply equals an in-memory reference on random change logs") {
+    val ss = spark
+    import ss.implicits._
+    for (trial <- 1 to 3) {
+      val nKeys = 60
+      val base = (0L until nKeys).map(k => (k, s"s$k", k * 1.5))
+      // random log: unique (k, ver) pairs, ops I/U/D over a key space
+      // that half-overlaps the base (I on fresh keys, U/D anywhere),
+      // multiple versions per key so "latest wins" is actually tested
+      val log = (0 until 150).map { i =>
+        val k = rnd.nextInt(nKeys + 30).toLong
+        val op = rnd.nextInt(3) match {
+          case 0 => "I"; case 1 => "U"; case 2 => "D"
+        }
+        (k, i, op, s"n$i", i * 0.25) // ver = i → unique per (k, ver)
+      }
+      val got = operators.EtlOps.cdcApply(
+        base.toDF("k", "st", "pr"),
+        log.toDF("k", "ver", "op", "st2", "pr2"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      // reference: latest op per key, applied with plain Scala
+      val latest = log.groupBy(_._1).map { case (k, es) =>
+        k -> es.maxBy(_._2)
+      }
+      val baseMap = base.map(b => b._1 -> b).toMap
+      val want = ((baseMap.keySet ++ latest.keySet).flatMap { k =>
+        (baseMap.get(k), latest.get(k)) match {
+          case (_, Some((_, _, "D", _, _))) => None
+          case (b, Some((_, _, _, st2, pr2))) => Some((k, st2, pr2))
+          case (Some((_, st, pr)), None) => Some((k, st, pr))
+          case (None, None) => None
+        }
+      }): Set[(Long, String, Double)]
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty)
+    }
+  }
+
   test("ShingleGenerator equals the declarative transform(sequence) form") {
     val ss = spark
     import ss.implicits._
