@@ -263,9 +263,12 @@ object EtlOps {
         "GROUP BY 1, 2 ORDER BY user_id, event_type"),
     "etl_shard_assign" ->
       ("WITH c AS (SELECT doc_id, n_chars, " +
-        "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
-        "PRECEDING AND CURRENT ROW) AS cum FROM documents) " +
-        "SELECT doc_id, n_chars, cum, (cum - n_chars) // 16384 AS shard " +
+        // DuckDB widens sum(BIGINT) to HUGEINT (DECIMAL128); the engine
+        // emits BIGINT — pin the oracle's type so hashes compare.
+        "CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM documents) " +
+        "SELECT doc_id, n_chars, cum, " +
+        "CAST((cum - n_chars) // 16384 AS BIGINT) AS shard " +
         "FROM c ORDER BY doc_id"),
     "etl_cdc_apply" ->
       ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, " +

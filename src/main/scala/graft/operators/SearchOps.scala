@@ -94,7 +94,10 @@ object SearchOps {
         "idf AS (SELECT w, (1000000 * nd) // count(*) AS idf " +
         "FROM tok, n GROUP BY w, nd), " +
         "qt AS (SELECT DISTINCT w FROM tok WHERE doc_id = 0), " +
-        "lex AS (SELECT doc_id, sum(idf) AS lex_score FROM tok " +
+        // DuckDB widens sum(BIGINT) to HUGEINT; pin to BIGINT so the
+        // type hash matches the engine's LongType lex_score.
+        "lex AS (SELECT doc_id, CAST(sum(idf) AS BIGINT) AS lex_score " +
+        "FROM tok " +
         "JOIN qt USING (w) JOIN idf USING (w) WHERE doc_id <> 0 " +
         s"GROUP BY doc_id ORDER BY lex_score DESC, doc_id LIMIT $K), " +
         "lexr AS (SELECT doc_id, lex_score, row_number() OVER " +
@@ -107,8 +110,8 @@ object SearchOps {
         "dnr AS (SELECT doc_id, cosx, row_number() OVER " +
         "(ORDER BY cosx DESC, doc_id) AS rank_dense FROM dn) " +
         "SELECT doc_id, " +
-        s"coalesce(1000000 // ($RrfK0 + rank_lex), 0) + " +
-        s"coalesce(1000000 // ($RrfK0 + rank_dense), 0) AS rrf, " +
+        s"CAST(coalesce(1000000 // ($RrfK0 + rank_lex), 0) + " +
+        s"coalesce(1000000 // ($RrfK0 + rank_dense), 0) AS BIGINT) AS rrf, " +
         "CAST(rank_lex AS INTEGER) AS rank_lex, " +
         "CAST(rank_dense AS INTEGER) AS rank_dense, " +
         "coalesce(lex_score, 0) AS lex_score, " +

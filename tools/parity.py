@@ -11,6 +11,55 @@ import json, sys, math
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
+
+
+def spark_emittable(t):
+    """True iff a Spark DataFrame can emit this arrow type verbatim.
+
+    DuckDB silently widens sum(BIGINT) to HUGEINT (arrow decimal128(38,0));
+    Spark emits BIGINT for the same expression, so the driver's type-aware
+    hash mismatches even when every value is identical (cost: 2 keys in r4).
+    Rejecting non-emittable ORACLE types up front turns that class of
+    failure into a named local error instead of a driver hash mystery.
+    """
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return spark_emittable(t.value_type)
+    if pa.types.is_struct(t):
+        return all(spark_emittable(f.type) for f in t)
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_boolean(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t) or pa.types.is_timestamp(t)
+            or pa.types.is_date(t) or pa.types.is_binary(t)
+            or pa.types.is_null(t))
+
+
+def oracle_type_drift(tbl):
+    """Columns whose oracle arrow type Spark cannot emit (e.g. HUGEINT)."""
+    return [f"{f.name}:{f.type}" for f in tbl.schema
+            if not spark_emittable(f.type)]
+
+
+def selftest():
+    """Feed a known HUGEINT-producing SQL; the guard must name the column."""
+    c = duckdb.connect()
+    t = c.execute(
+        "SELECT CAST(1 AS BIGINT) AS ok, sum(x) AS cum "
+        "FROM (SELECT CAST(range AS BIGINT) AS x FROM range(5)) "
+        "GROUP BY 1").fetch_arrow_table()
+    drift = oracle_type_drift(t)
+    assert drift and drift[0].startswith("cum:decimal128"), drift
+    good = c.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS cum "
+        "FROM (SELECT CAST(range AS BIGINT) AS x FROM range(5))"
+    ).fetch_arrow_table()
+    assert not oracle_type_drift(good), oracle_type_drift(good)
+    print("selftest OK: HUGEINT guard names the drifting column")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+    selftest()
+    sys.exit(0)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -46,6 +95,11 @@ for name, sql in sorted(oracle.items()):
         ).fetch_arrow_table()
     except Exception as e:
         fails.append((name, f"load/exec error: {e}"))
+        continue
+    drift = oracle_type_drift(want)
+    if drift:
+        fails.append((name, "oracle emits Spark-inexpressible type(s) "
+                            f"(HUGEINT/DECIMAL drift — add CAST): {drift}"))
         continue
     dec_cols = [f.name for f in got.schema if "decimal" in str(f.type)]
     if dec_cols:
