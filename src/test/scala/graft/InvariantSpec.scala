@@ -124,6 +124,22 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("containment candidates are a superset of the qualifying pairs") {
+    // the class-banded y-prune (r5) must lose no qualifying ordered pair:
+    // every (da, db) the full operator emits must appear in the
+    // pre-verify candidate stream (recall-1 for the banding, independent
+    // of the verify filter; RewriteEquivalenceSpec checks end-to-end
+    // equality on random corpora, this pins the stage contract itself)
+    val cands = operators.TextSimOps.containmentCandidates(spark, sf, 95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SparkEntry.queries("sim_containment_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty)
+    val missing = out -- cands
+    assert(missing.isEmpty,
+      s"banding dropped ${missing.size} qualifying pairs: ${missing.take(5)}")
+  }
+
   test("knn_cosine top-10 equals the prefix of the full similarity sort") {
     import graft.Tables.{t, round6}
     val emb = t(spark, sf, "embeddings")
