@@ -176,7 +176,13 @@ object EtlOps {
     * unique per key; equal-version duplicates resolve by the
     * struct-lexicographic max over (op, st2, pr2), deterministic but
     * semantically arbitrary, exactly like KeyedUpsertSink's payload
-    * tie-break. Fuzzed against an in-memory reference in
+    * tie-break. An applied I/U op takes its payload VERBATIM — a NULL
+    * payload column sets the column to NULL (ADVICE r4: the old
+    * coalesce() silently retained the base value, diverging from the
+    * reference semantics); "no log entry" is distinguished from "log
+    * entry with NULL payload" by a non-null presence flag carried
+    * through the full-outer join, not by payload nullness. Fuzzed
+    * against an in-memory reference (including NULL U payloads) in
     * RewriteEquivalenceSpec. */
   private[graft] def cdcApply(base: org.apache.spark.sql.DataFrame,
       log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -184,11 +190,12 @@ object EtlOps {
       .agg(max(struct(col("ver"), col("op"), col("st2"), col("pr2")))
         .as("l"))
       .select(col("k"), col("l.op").as("op"), col("l.st2").as("st2"),
-        col("l.pr2").as("pr2"))
+        col("l.pr2").as("pr2"), lit(true).as("applied"))
     base.join(latest, Seq("k"), "full_outer")
       .where(col("op").isNull || col("op") =!= "D")
-      .select(col("k"), coalesce(col("st2"), col("st")).as("status"),
-        coalesce(col("pr2"), col("pr")).as("price"))
+      .select(col("k"),
+        when(col("applied"), col("st2")).otherwise(col("st")).as("status"),
+        when(col("applied"), col("pr2")).otherwise(col("pr")).as("price"))
   }
 
   /** Parameterized body of `etl_incremental_agg` — `splitMod` picks the

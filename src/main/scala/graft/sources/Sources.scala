@@ -123,11 +123,25 @@ final class CompactingParquetSink(root: String, targetBytes: Long)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/__compact_$table")
     df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // atomic-ish swap: the compacted directory replaces the fragmented
-    // one only after a complete successful write (rename is atomic per
-    // directory on HDFS-like file systems)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    // swap via rename-aside (ADVICE r4): the old delete-then-rename left
+    // a window where a crash stranded the data in __compact_<table> with
+    // NO live table path. Renaming the live directory aside first means
+    // every failure point leaves a recoverable directory: before the
+    // second rename the table survives at __old_<table>; after it, the
+    // swap is complete and __old is garbage. Rename is atomic per
+    // directory on HDFS-like file systems, so readers see old-or-new,
+    // never a missing path (a reader holding the old listing across the
+    // swap is the same race any non-transactional table format has —
+    // the real-cluster refinement is a manifest/table-format commit).
+    val old = new org.apache.hadoop.fs.Path(s"$root/__old_$table")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact swap: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // restore the original table
+      throw new java.io.IOException(s"compact swap: cannot install $tmp")
+    }
+    fs.delete(old, true)
   }
 }
 

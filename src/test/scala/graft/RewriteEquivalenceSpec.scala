@@ -189,18 +189,25 @@ class RewriteEquivalenceSpec extends SparkTestBase {
       val base = (0L until nKeys).map(k => (k, s"s$k", k * 1.5))
       // random log: unique (k, ver) pairs, ops I/U/D over a key space
       // that half-overlaps the base (I on fresh keys, U/D anywhere),
-      // multiple versions per key so "latest wins" is actually tested
+      // multiple versions per key so "latest wins" is actually tested;
+      // ~1 in 5 U/I payload columns is NULL — an applied op must set
+      // the column to NULL verbatim, not retain the base value
       val log = (0 until 150).map { i =>
         val k = rnd.nextInt(nKeys + 30).toLong
         val op = rnd.nextInt(3) match {
           case 0 => "I"; case 1 => "U"; case 2 => "D"
         }
-        (k, i, op, s"n$i", i * 0.25) // ver = i → unique per (k, ver)
+        val st2 = if (rnd.nextInt(5) == 0) null else s"n$i"
+        val pr2: Option[Double] =
+          if (rnd.nextInt(5) == 0) None else Some(i * 0.25)
+        (k, i, op, st2, pr2) // ver = i → unique per (k, ver)
       }
       val got = operators.EtlOps.cdcApply(
         base.toDF("k", "st", "pr"),
         log.toDF("k", "ver", "op", "st2", "pr2"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
         .toSet
       // reference: latest op per key, applied with plain Scala
       val latest = log.groupBy(_._1).map { case (k, es) =>
@@ -211,10 +218,10 @@ class RewriteEquivalenceSpec extends SparkTestBase {
         (baseMap.get(k), latest.get(k)) match {
           case (_, Some((_, _, "D", _, _))) => None
           case (b, Some((_, _, _, st2, pr2))) => Some((k, st2, pr2))
-          case (Some((_, st, pr)), None) => Some((k, st, pr))
+          case (Some((_, st, pr)), None) => Some((k, st, Some(pr)))
           case (None, None) => None
         }
-      }): Set[(Long, String, Double)]
+      }): Set[(Long, String, Option[Double])]
       assert(got == want,
         s"trial $trial: missing=${(want -- got).take(5)} " +
           s"extra=${(got -- want).take(5)}")
