@@ -496,4 +496,37 @@ class InvariantSpec extends SparkTestBase {
         s"shard $sid holds $bytes bytes")
     }
   }
+
+  test("stream_late_data: invariant to prefix-max bucket width; matches global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the corpus is roughly time-ordered (zero late rows at every SF), so
+    // perturb ts_us deterministically to force a non-trivial late set —
+    // otherwise every form trivially agrees on the empty result
+    val ev = Tables.events(spark, sf).withColumn("ts_us",
+      col("ts_us") - pmod(col("event_id") * 2654435761L, lit(29L)) *
+        lit(120L * 1000000L))
+    def run(b: Long) = operators.TimeOps.lateData(ev, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val at4096 = run(4096L)
+    assert(at4096.nonEmpty, "perturbed corpus produced no late rows — vacuous")
+    // bucket width is an internal knob of the two-level prefix max: the
+    // strictly-preceding boundary must be exact wherever the edges fall,
+    // including width 1 (offset table does ALL the work) and a width
+    // larger than the table (local window does all the work)
+    assert(at4096 == run(1L), "bucket width 1 changed the late set")
+    assert(at4096 == run(37L), "bucket width 37 changed the late set")
+    assert(at4096 == run(1L << 40), "single-bucket run changed the late set")
+    // and the decomposition equals the reference global-window form
+    val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    val global = ev.withColumn("hwm", max("ts_us").over(w))
+      .where(col("hwm").isNotNull &&
+        col("ts_us") < col("hwm") - 600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("hwm"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(at4096 == global, "bucketed form diverged from the global window")
+  }
 }
