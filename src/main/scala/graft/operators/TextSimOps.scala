@@ -178,7 +178,14 @@ object TextSimOps {
     // ranked feeds THREE consumers (x prefix, y prefix, verify arrays);
     // exchange/stage reuse across those branches is a lottery (see the
     // clusterCC design note), so pin the small posting table (one row
-    // per distinct (doc, token)) once, GraphX-style
+    // per distinct (doc, token)) once, GraphX-style. Tradeoff (ADVICE
+    // r5): localCheckpoint truncates lineage into EXECUTOR-LOCAL block
+    // storage, so on a real cluster a lost executor fails the job
+    // instead of recomputing the postings — the same contract clusterCC
+    // documents for its per-round pins. Acceptable because the pin is
+    // small and cheap to rebuild on retry; a fault-tolerance-first
+    // deployment would swap in reliable checkpoint() at the cost of a
+    // distributed-FS write per run.
     val ranked = docRanked(s, d).localCheckpoint(false)
     val pfx = ranked
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)

@@ -138,7 +138,14 @@ final class CompactingParquetSink(root: String, targetBytes: Long)
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"compact swap: cannot move $path aside")
     if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // restore the original table
+      // restore the original table; if THAT also fails the table is
+      // absent at its live path, so the error must say where the data
+      // survives (ADVICE r5: a swallowed restore failure made the
+      // exception claim less than the operator knows)
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(
+          s"compact swap: cannot install $tmp AND restore failed — " +
+            s"table data survives at $old; move it back to $path manually")
       throw new java.io.IOException(s"compact swap: cannot install $tmp")
     }
     fs.delete(old, true)

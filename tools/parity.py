@@ -98,8 +98,13 @@ for name, sql in sorted(oracle.items()):
         continue
     drift = oracle_type_drift(want)
     if drift:
-        fails.append((name, "oracle emits Spark-inexpressible type(s) "
-                            f"(HUGEINT/DECIMAL drift — add CAST): {drift}"))
+        # not "inexpressible" — Spark CAN emit DecimalType; decimal is
+        # rejected because the driver's hash floats one side only, so any
+        # trailing-zero decimal value hash-mismatches (the repo's policy
+        # is double-at-the-output-boundary, Tables.sumDec/moneyOut)
+        fails.append((name, "oracle emits driver-hash-unsafe type(s) "
+                            "(HUGEINT/decimal drift; emit DOUBLE or CAST "
+                            f"to BIGINT at the output boundary): {drift}"))
         continue
     dec_cols = [f.name for f in got.schema if "decimal" in str(f.type)]
     if dec_cols:
