@@ -25,7 +25,7 @@ object SparkEntry {
       MultimodalOps.queries ++ TextAnalysisOps.queries ++
       SimilarityOps.queries ++ EtlOps.queries ++ PipelineOps.queries ++
       GraphOps.queries ++ AnalyticsOps.queries ++ LayoutOps.queries ++
-      SearchOps.queries
+      SearchOps.queries ++ IngestOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +38,5 @@ object SparkEntry {
       MultimodalOps.oracle ++ TextAnalysisOps.oracle ++
       SimilarityOps.oracle ++ EtlOps.oracle ++ PipelineOps.oracle ++
       GraphOps.oracle ++ AnalyticsOps.oracle ++ LayoutOps.oracle ++
-      SearchOps.oracle
+      SearchOps.oracle ++ IngestOps.oracle
 }
