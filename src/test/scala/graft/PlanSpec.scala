@@ -224,6 +224,62 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("scan_partition_pruned: PartitionFilters present, files read < files total") {
+    val df = SparkEntry.queries("scan_partition_pruned")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") && p.contains("19727"),
+      s"day filter did not become a partition filter:\n$p")
+    // the scan must touch ONE day directory out of 30, not the table
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.toString.contains("events_byday"))
+      .getOrElse(fail("no FileSourceScanExec over the partitioned fixture"))
+    val filesRead = scan.metrics("numFiles").value
+    val dayDirs = new java.io.File(
+        operators.IngestOps.fixtureRoot(sf) + "/events_byday")
+      .listFiles.count(_.getName.startsWith("day="))
+    assert(dayDirs > 1, s"fixture has $dayDirs day partitions — not a layout")
+    assert(filesRead < dayDirs,
+      s"scan read $filesRead files over $dayDirs day partitions — no pruning")
+  }
+
+  test("global audit: no unpartitioned row-level WindowExec in any key (VERDICT r5 #1)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    // An unpartitioned window moves EVERY row to one partition — the
+    // single-partition scale-killer. Allowed only where the window input
+    // is provably BOUNDED, not row-scaled:
+    //  - stream_late_data / etl_shard_assign: prefix-offset table sized
+    //    by bucket COUNT (rows/4096 resp. rows/100), not by rows
+    //  - search_rrf_hybrid: rank windows over TakeOrdered-truncated
+    //    top-K candidate lists (K = 60)
+    val boundedInput = Set("stream_late_data", "etl_shard_assign",
+      "search_rrf_hybrid")
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        windows(q.plan)
+    }.flatten
+    SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
+      val qe = SparkEntry.queries(k)(spark, sf).queryExecution
+      val bad = windows(qe.executedPlan).filter(_.partitionSpec.isEmpty)
+      if (!boundedInput(k))
+        assert(bad.isEmpty,
+          s"$k plans an unpartitioned row-level WindowExec (single-" +
+            s"partition scale-killer):\n${qe.executedPlan}")
+    }
+  }
+
   test("similarity verify attaches broadcast via AQE, and survive without") {
     // VERDICT r4 #4: the doc-token attach joins carry no hard broadcast
     // hint. At test scale AQE must convert them to BroadcastHashJoin at
