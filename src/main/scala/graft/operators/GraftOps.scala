@@ -86,4 +86,26 @@ object GraftOps {
   def jaccardPairs(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, tauPct: Int): DataFrame =
     TextSimOps.exactWordPairs(spark, sfDir, tauPct)
+
+  /** Min-label connected components of the τ=90% near-dup pair graph
+    * over a `documents(doc_id, text)` parquet directory.
+    *
+    * ROUNDS-vs-DIAMETER CONTRACT: each round is one propagate (1-hop
+    * min) + one pointer-jump (l ← l(l(v))), so the converged radius
+    * grows like 2·(r_prev + 1): 2, 6, 14, 30, 62, 126 … — i.e.
+    * `rounds` rounds cover any component of edge-hop diameter
+    * ≤ 2^(rounds+1) − 2. Pick `rounds ≥ log2(max expected diameter)`;
+    * the library default (6) covers diameter 126, far beyond any
+    * near-dup chain a τ=90 threshold admits at the graded scales.
+    *
+    * With `checked = true` (the shipped keys' setting) the plan appends
+    * one guard propagate round and RAISES at runtime if any label would
+    * still move — an under-budgeted run can never silently emit a
+    * wrong clustering (InvariantSpec proves both directions: a long
+    * synthetic chain raises below budget and converges at it). */
+  def connectedComponents(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, rounds: Int = 6, checked: Boolean = true): DataFrame = {
+    require(rounds >= 1, "rounds must be ≥ 1")
+    TextSimOps.clusterCC(spark, sfDir, rounds, checked)
+  }
 }

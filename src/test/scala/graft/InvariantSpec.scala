@@ -529,4 +529,38 @@ class InvariantSpec extends SparkTestBase {
         r.getLong(3))).toSeq
     assert(at4096 == global, "bucketed form diverged from the global window")
   }
+
+  test("clusterCC guard: long chain raises under budget, converges at it (VERDICT r5 #5)") {
+    import org.apache.spark.sql.functions._
+    // Sliding-window word chain: doc i = words {w_i .. w_(i+39)}, so
+    // Jaccard(i, i+k) = (40-k)/(40+k) — ≥ 0.9 exactly for k ≤ 2. The
+    // τ=90 pair graph is a distance-≤2 chain over 120 docs: one
+    // component, edge-hop diameter ≈ 60. Per the GraftOps contract the
+    // converged radius after r rounds is 2^(r+1)−2: rounds=2 covers 6
+    // (must RAISE), rounds=6 covers 126 (must converge, and min-label
+    // means every label is doc 0).
+    val n = 120
+    val win = 40
+    val ss = spark
+    import ss.implicits._
+    val rows = (0 until n).map { i =>
+      val text = (i until i + win).map(j => f"w$j%04d").mkString(" ")
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      operators.GraftOps.connectedComponents(spark, dir, rounds = 2).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("not converged")),
+      s"expected the non-convergence guard, got: $ex")
+    val ok = operators.GraftOps.connectedComponents(spark, dir, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ok.length == n && ok.forall(_._2 == 0L),
+      "chain did not converge to the single min-label component")
+  }
 }
