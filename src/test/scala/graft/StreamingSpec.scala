@@ -261,6 +261,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("native session_window streaming replay equals batch run and the key") {
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // streaming: real readStream replay, append mode — a session emits
+    // only once the watermark proves no event can still extend it
+    val q = graft.streaming.EventStreams.sessionWindows(
+        graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = canon(spark.table("sess_out"))
+    // batch: the SAME plan function on the batch frame
+    val batchDf = graft.Tables.events(spark, sf)
+      .withColumn("tstamp", timestamp_micros(col("ts_us")))
+    val batch = canon(graft.streaming.EventStreams.sessionWindows(batchDf))
+    assert(streamed.nonEmpty, "append mode emitted no finalized sessions")
+    // replay equivalence: every emitted session is exactly a batch
+    // session; the difference is precisely the watermark-open tail
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted sessions the batch run does not have: " +
+        s"${(streamed -- batch).take(3)}")
+    val unflushed = batch -- streamed
+    val horizon = graft.Tables.events(spark, sf)
+      .agg(max(col("ts_us"))).collect()(0).getLong(0) - 600L * 1000000L
+    unflushed.foreach { case (_, s0, _, dur) =>
+      assert(s0 + dur + 1800L * 1000000L >= horizon,
+        s"session starting $s0 closed before the final watermark " +
+          "yet was never emitted — replay lost a finalized session")
+    }
+    // and the native form agrees with the oracle-able gaps-and-islands
+    // key on this corpus (no exact-boundary gap exists — the two
+    // semantics coincide; sid is a per-user ordinal the native form
+    // does not carry, so compare the (user, start, cnt, dur) set)
+    val viaKey = SparkEntry.queries("window_session")(spark, sf)
+      .select(col("user_id"), col("s_start"), col("cnt"), col("dur_us"))
+    assert(canon(viaKey) == batch,
+      "native session_window diverged from the gaps-and-islands key")
+  }
+
   test("streaming ingest through the DSv2 keyed store is exactly-once") {
     // the full reference chain: file-source replay → foreachBatch →
     // DSv2 store sink; keyed last-write-wins across micro-batches must
