@@ -99,6 +99,21 @@ object IngestOps {
     path
   }
 
+  /** Small day-dimension parquet (one row per distinct event day, tag =
+    * day mod 3) — the filtered-dim side that makes dynamic partition
+    * pruning observable: the fact-side day set is only known once the
+    * dim filter runs, so static pruning CANNOT remove partitions and
+    * any skipped file is DPP's doing. */
+  private[graft] def writeDayDimFixture(s: SparkSession, d: String): String = {
+    val path = s"${fixtureRoot(d)}/day_dim"
+    events(s, d)
+      .select(expr(s"ts_us div $DayUs").as("day")).distinct()
+      .withColumn("tag", pmod(col("day"), lit(3L)))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
   val queries: Map[String, QFn] = Map(
     // Messy-CSV ingest: schema-explicit all-VARCHAR read (inference
     // nowhere), then TRY_CAST/trim cleaning — the junk row survives as
@@ -145,6 +160,24 @@ object IngestOps {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("day").cast("bigint").as("day"))
         .orderBy("event_id")
+    }),
+
+    // DYNAMIC partition pruning — the 100 TB star-join read pattern:
+    // the fact's day set comes from a FILTERED dim (tag = 1 → 1/3 of
+    // days), so static pruning cannot fire; Catalyst injects a
+    // dynamicpruningexpression on the fact scan's partition column,
+    // reusing the dim broadcast as the IN-set (PlanSpec asserts the
+    // subquery is present and that the scan skips files). SURVEY §4
+    // called DPP inert on the single-file corpus — the partitioned
+    // fixture makes it demonstrable.
+    "join_dpp_partitioned" -> ((s: SparkSession, d: String) => {
+      val fact = s.read.parquet(writePartitionedFixture(s, d))
+      val dim = s.read.parquet(writeDayDimFixture(s, d))
+        .where(col("tag") === 1L)
+      fact.join(dim, "day")
+        .groupBy(col("day").cast("bigint").as("day"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("value")).as("sum_v"))
+        .orderBy("day")
     }))
 
   /** Oracle reads the sf0.01 fixture the Verify run just wrote (the
@@ -173,5 +206,9 @@ object IngestOps {
     "scan_partition_pruned" ->
       (s"SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         s"epoch_us(ts) // $DayUs AS day FROM events " +
-        s"WHERE epoch_us(ts) // $DayUs = $PrunedDay ORDER BY event_id"))
+        s"WHERE epoch_us(ts) // $DayUs = $PrunedDay ORDER BY event_id"),
+    "join_dpp_partitioned" ->
+      (s"WITH e AS (SELECT epoch_us(ts) // $DayUs AS day, value FROM events) " +
+        "SELECT day, count(*) AS cnt, " + oSumDec("value") + " AS sum_v " +
+        "FROM e WHERE day % 3 = 1 GROUP BY day ORDER BY day"))
 }

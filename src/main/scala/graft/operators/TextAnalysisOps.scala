@@ -237,7 +237,36 @@ object TextAnalysisOps {
             col("shared_spans").cast("double") / col("n_spans"))
             .otherwise(lit(0.0))).as("shared_frac"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // PII masking — the scrubbing pass every training-data pipeline runs
+    // before anything else sees the text. The corpus is PII-free word
+    // soup, so the key INJECTS deterministic PII first (doc_id%3==0 →
+    // an email, ==1 → a phone, ==2 → untouched — the no-op proof), then
+    // masks with codegen'd regexp_replace chains (replace-ALL on both
+    // engines; DuckDB needs the explicit 'g'). Patterns are
+    // ASCII-simple so Java regex and DuckDB's RE2 agree exactly; the
+    // hash compare runs over the full masked STRING, so any
+    // match-boundary divergence fails loudly. Per-row expression work,
+    // no shuffle except the output sort — embarrassingly 100 TB-safe.
+    "text_pii_mask" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .withColumn("inj",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(col("text"), lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(col("text")))
+        .withColumn("masked", regexp_replace(regexp_replace(col("inj"),
+          "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+          "555-[0-9]{4}", "<PHONE>"))
+        .select(col("doc_id"), col("masked"),
+          col("masked").contains("<EMAIL>").as("has_email"),
+          col("masked").contains("<PHONE>").as("has_phone"))
+        .orderBy("doc_id")))
 
   /** Word n-gram array of `text` (space-joined, overlapping), empty for
     * docs with < n tokens — Spark's sequence() DESCENDS for end < start,
@@ -279,6 +308,18 @@ object TextAnalysisOps {
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
+    "text_pii_mask" ->
+      ("WITH i AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 3 = 0 THEN text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com now' " +
+        "WHEN doc_id % 3 = 1 THEN text || ' call 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' " +
+        "ELSE text END AS inj FROM documents), " +
+        "m AS (SELECT doc_id, regexp_replace(regexp_replace(inj, " +
+        "'[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'), " +
+        "'555-[0-9]{4}', '<PHONE>', 'g') AS masked FROM i) " +
+        "SELECT doc_id, masked, contains(masked, '<EMAIL>') AS has_email, " +
+        "contains(masked, '<PHONE>') AS has_phone FROM m ORDER BY doc_id"),
     "text_quality" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
         oRound6("CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) " +

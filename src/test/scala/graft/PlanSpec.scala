@@ -251,6 +251,33 @@ class PlanSpec extends SparkTestBase {
       s"scan read $filesRead files over $dayDirs day partitions — no pruning")
   }
 
+  test("join_dpp_partitioned: dynamic pruning subquery skips fact partitions") {
+    val df = SparkEntry.queries("join_dpp_partitioned")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression on the fact scan:\n$p")
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.toString.contains("events_byday"))
+      .getOrElse(fail("no FileSourceScanExec over the partitioned fact"))
+    val filesRead = scan.metrics("numFiles").value
+    val dayDirs = new java.io.File(
+        operators.IngestOps.fixtureRoot(sf) + "/events_byday")
+      .listFiles.count(_.getName.startsWith("day="))
+    // tag=1 keeps day%3==1 — a third of the layout; anything ≥ total
+    // means the runtime IN-set never reached the scan
+    assert(filesRead < dayDirs,
+      s"DPP read $filesRead files over $dayDirs day partitions — no skipping")
+  }
+
   test("global audit: no unpartitioned row-level WindowExec in any key (VERDICT r5 #1)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
