@@ -135,29 +135,39 @@ object GraphOps {
         .join(lp.select(col("o"), col("p").as("y")), "o")
         .where(col("x") < col("y"))
         .select(col("x"), col("y")).distinct()
-      val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val withDeg = und
-        .join(deg.select(col("n").as("x2"), col("dg").as("dx")),
-          col("x") === col("x2"))
-        .join(deg.select(col("n").as("y2"), col("dg").as("dy")),
-          col("y") === col("y2"))
-      val lower = col("dx") < col("dy") ||
-        (col("dx") === col("dy") && col("x") < col("y"))
-      val dir = withDeg.select(
-          when(lower, col("x")).otherwise(col("y")).as("u"),
-          when(lower, col("y")).otherwise(col("x")).as("v"))
-        .localCheckpoint(false) // referenced 3× below (CC discipline)
-      val tri = dir
-        .join(dir.select(col("u").as("v2"), col("v").as("w")),
-          col("v") === col("v2"))
-        .join(dir.select(col("u").as("u3"), col("v").as("w3")),
-          col("u") === col("u3") && col("w") === col("w3"), "left_semi")
-        .select(col("u"), col("v"), col("w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+      triangleCounts(und)
         .orderBy(col("tri_cnt").desc, col("node")).limit(50)
     }))
+
+  /** Per-node triangle participation counts over an undirected DISTINCT
+    * edge set `(x, y)` with x < y — the degree-oriented algorithm (see
+    * the `graph_triangle_count` entry). Factored out so
+    * RewriteEquivalenceSpec can fuzz it against brute force on
+    * adversarial synthetic graphs (planted hubs, cliques). Nodes with
+    * zero triangles are absent from the output. */
+  private[graft] def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = und.select(explode(array(col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("x2"), col("dg").as("dx")),
+        col("x") === col("x2"))
+      .join(deg.select(col("n").as("y2"), col("dg").as("dy")),
+        col("y") === col("y2"))
+    val lower = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val dir = withDeg.select(
+        when(lower, col("x")).otherwise(col("y")).as("u"),
+        when(lower, col("y")).otherwise(col("x")).as("v"))
+      .localCheckpoint(false) // referenced 3× below (CC discipline)
+    val tri = dir
+      .join(dir.select(col("u").as("v2"), col("v").as("w")),
+        col("v") === col("v2"))
+      .join(dir.select(col("u").as("u3"), col("v").as("w3")),
+        col("u") === col("u3") && col("w") === col("w3"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> {

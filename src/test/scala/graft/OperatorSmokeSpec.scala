@@ -44,6 +44,21 @@ class OperatorSmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every queries key is oracled or on the declared ⊘ list (SURVEY §2)") {
+    // the exhaustive ⊘ set — sketch/LSH/IVF/stream internals differ
+    // across engines, each covered by an in-repo accuracy/equivalence
+    // test instead (SURVEY §5). A key landing here by accident means
+    // someone forgot the oracle: the correctness gate would silently
+    // downgrade it to a rows-only check.
+    val declaredNoOracle = Set("agg_approx_distinct", "agg_approx_percentile",
+      "agg_hll_sketch", "agg_cms_sketch", "dedup_minhash", "text_fingerprint",
+      "knn_ann_srp", "knn_ivf", "stream_neardup")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == declaredNoOracle,
+      s"undeclared unoracled keys: ${unoracled -- declaredNoOracle}; " +
+        s"stale ⊘ entries: ${declaredNoOracle -- unoracled}")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

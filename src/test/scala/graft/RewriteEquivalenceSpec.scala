@@ -88,6 +88,45 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     } yield (s"lab${a % 3}", a, b)).toSet)
   }
 
+  test("degree-oriented triangle counting equals brute force on hub graphs") {
+    val ss = spark
+    import ss.implicits._
+    for (trial <- 1 to 3) {
+      val n = Seq(30, 60, 100)(trial - 1)
+      // adversarial mix: a planted hub connected to everything (the
+      // shape that blows up naive neighbor-pairing), random cliques of
+      // size 4-6, plus random noise edges
+      val es = scala.collection.mutable.Set[(Long, Long)]()
+      (1 until n).foreach(i => es += ((0L, i.toLong))) // hub 0
+      for (_ <- 1 to 6) {
+        val k = 4 + rnd.nextInt(3)
+        val mem = Seq.fill(k)(rnd.nextInt(n).toLong).distinct.sorted
+        for (a <- mem; b <- mem if a < b) es += ((a, b))
+      }
+      for (_ <- 1 to 3 * n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) es += ((a, b)) else if (b < a) es += ((b, a))
+      }
+      val und = es.toSeq.toDF("x", "y")
+      val got = operators.GraphOps.triangleCounts(und)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: every ordered triple a<b<c with all three edges
+      val adj = es.toSet
+      val want = scala.collection.mutable.Map[Long, Long]()
+      for (a <- 0L until n; b <- a + 1 until n; c <- b + 1 until n)
+        if (adj((a, b)) && adj((a, c)) && adj((b, c))) {
+          want(a) = want.getOrElse(a, 0L) + 1
+          want(b) = want.getOrElse(b, 0L) + 1
+          want(c) = want.getOrElse(c, 0L) + 1
+        }
+      assert(want.nonEmpty, s"trial $trial degenerate (no triangles)")
+      assert(got == want.toMap,
+        s"trial $trial (n=$n, ${es.size} edges): " +
+          s"diff=${(got.toSet diff want.toSet).take(5)} / " +
+          s"${(want.toSet diff got.toSet).take(5)}")
+    }
+  }
+
   test("SortedIntersectCount equals size(array_intersect) — longs and strings") {
     val ss = spark
     import ss.implicits._
