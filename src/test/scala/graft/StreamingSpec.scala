@@ -69,6 +69,44 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.size == n + 1, s"expected ${n + 1} rows, got ${ids.size}")
   }
 
+  test("RocksDB state store runs the session_window replay identically") {
+    // The 100 TB state path: the default HDFSBackedStateStoreProvider
+    // keeps every key's state on the JVM heap — at cluster scale the
+    // store must spill, which is exactly what the RocksDB provider
+    // (bundled with Spark 4) exists for. Run the heaviest stateful
+    // shape (session merge) under RocksDB and assert the emissions are
+    // byte-identical to the default provider's — state backend is an
+    // operational knob, never a semantics change.
+    val (dir, _, _, _) = stageChunks(withLate = false)
+    val schema = spark.read.parquet(s"$dir/chunk1").schema
+    def run(name: String): Set[(Long, Long, Long, Long)] = {
+      val q = graft.streaming.EventStreams.sessionWindows(
+          graft.streaming.EventStreams.readEvents(spark, s"$dir/*", schema))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    }
+    val heap = run("sess_heap")
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rocks = run("sess_rocks")
+      assert(rocks.nonEmpty && rocks == heap,
+        s"RocksDB emissions diverged: ${(rocks diff heap).take(3)} / " +
+          s"${(heap diff rocks).take(3)}")
+    } finally prev match {
+      case Some(v) => spark.conf
+        .set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("IngestPipeline lands the deduped, late-dropped feed in the sink") {
     val (dir, lateId, freshId, n) = stageChunks()
     val schema = spark.read.parquet(s"$dir/chunk1").schema
