@@ -180,11 +180,15 @@ object IngestOps {
         .orderBy("day")
     }))
 
-  /** Oracle reads the sf0.01 fixture the Verify run just wrote (the
-    * correctness gate runs at sf0.01 only — SURVEY §5); the partitioned
-    * key's oracle reads the ORIGINAL parquet, proving the layout
+  /** Oracle reads the fixture the Verify run just wrote. The driver's
+    * correctness gate runs at sf0.01 only (SURVEY §5), so that is the
+    * default; SPARK_GRAFT_ORACLE_SF overrides it so the determinism
+    * policy can be re-proven at sf0.1 locally (DESIGN §2 discipline —
+    * parity at 10× data and different parallelism). The partitioned
+    * keys' oracles read the ORIGINAL parquet, proving the layout
     * round-trip changed nothing. */
-  private val OracleFixtures = "/root/repo/target/fixtures/sf0.01"
+  private val OracleFixtures = "/root/repo/target/fixtures/" +
+    sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01")
 
   val oracle: Map[String, String] = Map(
     "scan_csv_messy" ->
