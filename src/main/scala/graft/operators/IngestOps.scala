@@ -89,6 +89,26 @@ object IngestOps {
     path
   }
 
+  /** ORC fixture with COMPLEX types — struct + array columns — so the
+    * read side exercises ORC's nested decoding, not just flat scalars
+    * (SourceSinkSpec's round-trip uses flat columns only). Avro is the
+    * one reader that stays "capability, no key": the spark-avro
+    * datasource jar is not in /opt/spark/jars (only the Avro core
+    * libs), so `format("avro")` cannot resolve offline. */
+  private[graft] def writeOrcFixture(s: SparkSession, d: String): String = {
+    val path = s"${fixtureRoot(d)}/events_orc"
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        struct(col("event_type").as("t"), col("value").as("v")).as("m"),
+        array(col("event_type"),
+          concat(lit("x"), pmod(col("event_id"), lit(5)).cast("string")))
+          .as("tags"),
+        col("ts_us"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    path
+  }
+
   private[graft] def writePartitionedFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_byday"
     events(s, d)
@@ -146,6 +166,25 @@ object IngestOps {
         .select(col("event_id"), col("user_id"),
           col("m.t").as("etype"), col("m.value").as("value"),
           col("props.k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // ORC ingest with nested types: schema-explicit read (inference
+    // nowhere), a predicate on a NESTED struct field that must reach
+    // the ORC scan as a pushed filter (nestedPredicatePushdown covers
+    // orc by default; PlanSpec asserts), struct/array element
+    // projection. Oracle reads the ORIGINAL parquet — the ORC
+    // round-trip must change nothing.
+    "scan_orc_nested" -> ((s: SparkSession, d: String) => {
+      val path = writeOrcFixture(s, d)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, " +
+          "m STRUCT<t: STRING, v: DOUBLE>, tags ARRAY<STRING>, ts_us BIGINT")
+        .orc(path)
+        .where(col("m")("t") =!= "error")
+        .select(col("event_id"), col("user_id"),
+          col("m.t").as("etype"), col("m.v").as("v"),
+          element_at(col("tags"), 2).as("tag1"), col("ts_us"))
         .orderBy("event_id")
     }),
 
@@ -207,6 +246,11 @@ object IngestOps {
         "format='newline_delimited', columns={'event_id':'BIGINT'," +
         "'user_id':'BIGINT','m':'STRUCT(t VARCHAR, \"value\" DOUBLE)'," +
         "'props':'STRUCT(k BIGINT)'}) ORDER BY event_id"),
+    "scan_orc_nested" ->
+      ("SELECT event_id, user_id, event_type AS etype, value AS v, " +
+        "'x' || CAST(event_id % 5 AS VARCHAR) AS tag1, " +
+        "epoch_us(ts) AS ts_us FROM events " +
+        "WHERE event_type <> 'error' ORDER BY event_id"),
     "scan_partition_pruned" ->
       (s"SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
         s"epoch_us(ts) // $DayUs AS day FROM events " +
