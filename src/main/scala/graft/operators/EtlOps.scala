@@ -168,7 +168,51 @@ object EtlOps {
         .groupBy(col("status"), col("action"))
         .agg(count(lit(1)).as("cnt"), sumDec(col("price")).as("sum_price"))
         .orderBy("status", "action")
+    }),
+
+    // Snapshot DIFF — the inverse of etl_cdc_apply: given two keyed
+    // snapshots, EMIT the changelog (I/U/D rows with old/new payloads)
+    // instead of applying one. This is how a lake without a native CDF
+    // reconstructs change feeds between table versions. Snapshot B is
+    // derived deterministically from orders (delete %13, reprice %7,
+    // insert clones of %11 at key+1e8 — the +1e8 keyspace is disjoint
+    // from o_orderkey at every SF). Shape: ONE keyed full-outer join +
+    // a residual filter; at 100 TB both snapshots live bucketed by key,
+    // so the join is co-partitioned and shuffle-free. Unchanged rows
+    // (the overwhelming majority at scale) are dropped by the filter
+    // BEFORE the output sort. RewriteEquivalenceSpec fuzzes the
+    // diff∘apply round-trip against etl_cdc_apply.
+    "etl_snapshot_diff" -> ((s: SparkSession, d: String) => {
+      val a = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val b = a.where(pmod(col("k"), lit(13)) =!= 0)
+        .select(col("k"),
+          when(pmod(col("k"), lit(7)) === 0, col("p") + lit(1.0))
+            .otherwise(col("p")).as("p"))
+        .union(a.where(pmod(col("k"), lit(11)) === 0)
+          .select((col("k") + lit(100000000L)).as("k"),
+            (col("p") + lit(0.5)).as("p")))
+      snapshotDiff(a, b).orderBy("o_orderkey")
     }))
+
+  /** Parameterized body of `etl_snapshot_diff`: old/new keyed snapshots
+    * (k, p) → changelog rows (k, change ∈ D/I/U, old_p, new_p), with
+    * unchanged keys filtered out. Payload equality is exact (`=!=` on
+    * the raw column — for doubles that is bitwise IEEE equality, the
+    * right contract for "did the stored value change"). Requires k
+    * unique per snapshot, the same precondition as cdcApply's base. */
+  private[graft] def snapshotDiff(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val x = a.select(col("k").as("ka"), col("p").as("pa"))
+    val y = b.select(col("k").as("kb"), col("p").as("pb"))
+    x.join(y, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        when(col("kb").isNull, "D")
+          .when(col("ka").isNull, "I")
+          .when(col("pa") =!= col("pb"), "U").as("change"),
+        moneyOut(col("pa")).as("old_p"), moneyOut(col("pb")).as("new_p"))
+      .where(col("change").isNotNull)
+  }
 
   /** Parameterized body of `etl_cdc_apply`: apply a change log
     * (k, ver, op ∈ I/U/D, st2, pr2) to a base snapshot (k, st, pr).
@@ -309,5 +353,16 @@ object EtlOps {
         "FROM base FULL JOIN upd ON base.k = upd.k) " +
         "SELECT status, action, count(*) AS cnt, " +
         oSumDec("price") + " AS sum_price " +
-        "FROM m GROUP BY 1, 2 ORDER BY status, action"))
+        "FROM m GROUP BY 1, 2 ORDER BY status, action"),
+    "etl_snapshot_diff" ->
+      ("WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders), " +
+        "b AS (SELECT k, CASE WHEN k % 7 = 0 THEN p + 1.0 ELSE p END AS p " +
+        "FROM a WHERE k % 13 <> 0 " +
+        "UNION ALL SELECT k + 100000000, p + 0.5 FROM a WHERE k % 11 = 0), " +
+        "j AS (SELECT coalesce(a.k, b.k) AS o_orderkey, " +
+        "CASE WHEN b.k IS NULL THEN 'D' WHEN a.k IS NULL THEN 'I' " +
+        "WHEN a.p <> b.p THEN 'U' END AS change, " +
+        oMoneyOut("a.p") + " AS old_p, " + oMoneyOut("b.p") + " AS new_p " +
+        "FROM a FULL JOIN b ON a.k = b.k) " +
+        "SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey"))
 }

@@ -67,6 +67,44 @@ object PipelineOps {
         .orderBy("lang", "h")
     }),
 
+    // Column profiler — the pre-ingest survey every pipeline runs first
+    // (Deequ/dbt-test shape): per column, null count, exact distinct
+    // count, numeric min/max. Nulls are injected deterministically
+    // (the corpus has none) so the null path is really exercised.
+    // Shape: ONE pass — a single agg computes all 12 statistics (the
+    // multi-countDistinct plans one Expand = 3× rows on the wire, the
+    // documented exact-profile cost), then a 3-row stack unpivots to
+    // (colname, stats) — no per-column rescans. At 100 TB the same
+    // plan holds with countDistinct swapped for approx_count_distinct
+    // (the agg_approx_distinct key) — Expand gone, one combine-enabled
+    // pass.
+    "pipe_profile" -> ((s: SparkSession, d: String) => {
+      val e = events(s, d).select(
+        when(pmod(col("event_id"), lit(11)) === 0, lit(null).cast("bigint"))
+          .otherwise(col("user_id")).as("user_id"),
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        col("event_type"))
+      e.agg(
+        count(when(col("user_id").isNull, 1)).as("n1"),
+        countDistinct(col("user_id")).as("d1"),
+        min(col("user_id")).cast("double").as("mi1"),
+        max(col("user_id")).cast("double").as("ma1"),
+        count(when(col("value").isNull, 1)).as("n2"),
+        countDistinct(col("value")).as("d2"),
+        min(col("value")).as("mi2"),
+        max(col("value")).as("ma2"),
+        count(when(col("event_type").isNull, 1)).as("n3"),
+        countDistinct(col("event_type")).as("d3"))
+        .select(expr(
+          "stack(3, 'user_id', n1, d1, mi1, ma1, " +
+            "'value', n2, d2, mi2, ma2, " +
+            "'event_type', n3, d3, CAST(NULL AS DOUBLE), " +
+            "CAST(NULL AS DOUBLE)) AS (colname, n_nulls, n_distinct, " +
+            "min_d, max_d)"))
+        .orderBy("colname")
+    }),
+
     "pipe_training_mix" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       // 1) exact dedup: deterministically keep the min doc id per
@@ -334,6 +372,22 @@ object PipelineOps {
         "(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
         s"AS rn FROM documents) WHERE rn <= $SamplePerLang " +
         "ORDER BY lang, h"),
+    "pipe_profile" ->
+      ("WITH e AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL " +
+        "ELSE user_id END AS user_id, CASE WHEN event_id % 7 = 0 THEN " +
+        "NULL ELSE value END AS value, event_type FROM events) " +
+        "SELECT 'user_id' AS colname, " +
+        "CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS n_nulls, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct, " +
+        "CAST(min(user_id) AS DOUBLE) AS min_d, " +
+        "CAST(max(user_id) AS DOUBLE) AS max_d FROM e " +
+        "UNION ALL SELECT 'value', " +
+        "CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT value) AS BIGINT), min(value), max(value) FROM e " +
+        "UNION ALL SELECT 'event_type', " +
+        "CAST(count(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL FROM e " +
+        "ORDER BY colname"),
     "pipe_training_mix" ->
       ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(lower(trim(text)))), " +

@@ -268,6 +268,46 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("snapshotDiff recovers the effective changes of a random edit") {
+    val ss = spark
+    import ss.implicits._
+    for (trial <- 1 to 3) {
+      val nKeys = 60
+      val base = (0L until nKeys).map(k => (k, k * 1.5))
+      // random second snapshot: delete some keys, reprice some, insert
+      // fresh keys — the three changelog classes a diff must emit
+      val after = base.flatMap { case (k, p) =>
+        rnd.nextInt(4) match {
+          case 0 => None // deleted
+          case 1 => Some((k, p + 1.0 + rnd.nextInt(5))) // repriced
+          case _ => Some((k, p)) // untouched → must NOT appear
+        }
+      } ++ (0 until 15).map(i => (nKeys + i.toLong, i * 0.25))
+      val got = operators.EtlOps.snapshotDiff(
+        base.toDF("k", "p"), after.toDF("k", "p"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) Option.empty[Double] else Some(r.getDouble(3))))
+        .toSet
+      val bm = base.toMap
+      val am = after.toMap
+      val want = (bm.keySet ++ am.keySet).flatMap { k =>
+        (bm.get(k), am.get(k)) match {
+          case (Some(p), None) => Some((k, "D", Some(p), None))
+          case (None, Some(p)) => Some((k, "I", None, Some(p)))
+          case (Some(p0), Some(p1)) if p0 != p1 =>
+            Some((k, "U", Some(p0), Some(p1)))
+          case _ => None
+        }
+      }
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+      // every trial must exercise all three change classes
+      assert(Set("D", "I", "U").subsetOf(want.map(_._2)))
+    }
+  }
+
   test("ShingleGenerator equals the declarative transform(sequence) form") {
     val ss = spark
     import ss.implicits._
