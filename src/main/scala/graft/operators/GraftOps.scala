@@ -108,4 +108,21 @@ object GraftOps {
     require(rounds >= 1, "rounds must be ≥ 1")
     TextSimOps.clusterCC(spark, sfDir, rounds, checked)
   }
+
+  /** Changelog between two keyed snapshots `(k, p)` → rows
+    * `(o_orderkey, change ∈ D/I/U, old_p, new_p)`, unchanged keys
+    * dropped — the inverse of CDC apply (how a lake without a native
+    * change-data-feed reconstructs one between table versions).
+    * PRECONDITION: `k` unique within each snapshot (same contract as
+    * the CDC base); payload comparison is exact — bitwise IEEE
+    * equality for doubles, the right reading of "did the stored value
+    * change". One keyed full-outer join; co-partitioned (shuffle-free)
+    * when both snapshots are bucketed by key. Fuzzed against an
+    * in-memory reference in RewriteEquivalenceSpec. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    require(oldSnap.columns.toSeq == Seq("k", "p") &&
+      newSnap.columns.toSeq == Seq("k", "p"),
+      "snapshots must have columns (k, p)")
+    EtlOps.snapshotDiff(oldSnap, newSnap)
+  }
 }

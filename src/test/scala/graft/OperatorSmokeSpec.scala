@@ -37,6 +37,15 @@ class OperatorSmokeSpec extends SparkTestBase {
     assert(operators.GraftOps.intervalOverlapJoin(iv, 100L).count() == 1)
     // jaccardPairs: runs on the corpus directory
     assert(operators.GraftOps.jaccardPairs(spark, sf, 90).count() >= 0)
+    // snapshotDiff: one of each change class, unchanged key dropped
+    val s0 = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "p")
+    val s1 = Seq((1L, 1.0), (2L, 2.5), (4L, 4.0)).toDF("k", "p")
+    val diff = operators.GraftOps.snapshotDiff(s0, s1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "U", 3L -> "D", 4L -> "I"), s"$diff")
+    intercept[IllegalArgumentException] {
+      operators.GraftOps.snapshotDiff(s0.withColumnRenamed("p", "x"), s1)
+    }
   }
 
   test("every oracleSql key has a queries entry") {
