@@ -372,6 +372,52 @@ object TextSimOps {
     "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       exactWordPairs(s, d, TauPct).orderBy("da", "db")),
 
+    // Fuzzy string matching via DELETION NEIGHBORHOODS (the SymSpell
+    // candidate scheme) — the missing member of the dedup shelf: typo
+    // correction against a dictionary WITHOUT a dictionary × corpus
+    // cross join. Candidate completeness for edit distance ≤ 1: if
+    // lev(a,b) ≤ 1 then D1(a) ∩ D1(b) ≠ ∅, where D1(s) = {s} ∪
+    // single-char deletions of s — substitution: delete the differing
+    // position in both; insert/delete: the shorter string IS a deletion
+    // of the longer; equality: the string itself. So one equi-join on
+    // the variant string finds every pair, and the cheap map-side
+    // levenshtein verify discards the false candidates (verify BEFORE
+    // the distinct, so the dedup shuffle carries only true pairs).
+    // Typos are injected deterministically (doc_id%3 docs drop the
+    // char at doc_id mod len of their first word) — the corpus' 31-word
+    // soup has no natural near-words. Scale: the dictionary side is
+    // vocabulary-sized (Heaps-sublinear) with O(Σ|w|) variants; the
+    // typo side is corpus-linear; both shuffle keyed on the variant
+    // string — never a cross join. The oracle brute-forces lev over
+    // dict × typos, so candidate completeness is hash-checked, not
+    // assumed.
+    "sim_edit_neighbors" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      // {s} ∪ all single-char deletions of column `n`
+      def dels(n: String) =
+        concat(array(col(n)), expr(
+          s"transform(sequence(1, length($n)), i -> " +
+            s"concat(substring($n, 1, i-1), " +
+            s"substring($n, i+1, length($n))))"))
+      val vvar = docs.select(explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .select(col("w"), explode(dels("w")).as("v"))
+      val tvar = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), split(col("text"), " ").getItem(0).as("tw"))
+        .select(col("doc_id"), concat(
+          expr("substring(tw, 1, CAST(doc_id % length(tw) AS INT))"),
+          expr("substring(tw, CAST(doc_id % length(tw) AS INT) + 2, " +
+            "length(tw))")).as("typo"))
+        .select(col("doc_id"), col("typo"),
+          explode(dels("typo")).as("v"))
+      tvar.join(vvar, "v")
+        .where(levenshtein(col("typo"), col("w")) <= 1)
+        .select(col("doc_id"), col("typo"), col("w"),
+          levenshtein(col("typo"), col("w")).as("dist"))
+        .distinct()
+        .orderBy("doc_id", "w")
+    }),
+
     // Containment (subset-dup) detection — the dedup case symmetric
     // Jaccard misses: a short document swallowed by a longer one.
     // C(x→y) = |x∩y| / |x| ≥ 95% over ORDERED pairs (x contained in y).
@@ -658,6 +704,18 @@ object TextSimOps {
         "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
         "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    // brute-force lev over dict × typos — candidate completeness of the
+    // deletion-neighborhood join is hash-checked against it
+    "sim_edit_neighbors" ->
+      ("WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "t0 AS (SELECT doc_id, string_split(text, ' ')[1] AS tw " +
+        "FROM documents WHERE doc_id % 3 = 0), " +
+        "t AS (SELECT doc_id, " +
+        "substr(tw, 1, CAST(doc_id % len(tw) AS INT)) || " +
+        "substr(tw, CAST(doc_id % len(tw) AS INT) + 2) AS typo FROM t0) " +
+        "SELECT doc_id, typo, w, CAST(levenshtein(typo, w) AS INT) AS dist " +
+        "FROM t, v WHERE levenshtein(typo, w) <= 1 ORDER BY doc_id, w"),
     "sim_containment_pairs" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +
