@@ -342,6 +342,34 @@ object TextSimOps {
     }
   }
 
+  /** Deletion-neighborhood (SymSpell) fuzzy join: pairs each typo row
+    * (id, typo) with every dictionary word (w) at levenshtein ≤ 1,
+    * emitting (id, typo, w, dist). Candidates come from ONE equi-join
+    * on the variant string over D1(s) = {s} ∪ single-char deletions;
+    * completeness: lev(a,b) ≤ 1 ⟹ D1(a) ∩ D1(b) ≠ ∅ (substitution:
+    * delete the differing position in both; insert/delete: the shorter
+    * IS a deletion of the longer; equality: the string itself). The
+    * levenshtein verify is map-side and runs BEFORE the distinct, so
+    * the dedup shuffle carries only true pairs. Fuzzed vs brute force
+    * on dense random alphabets in RewriteEquivalenceSpec. */
+  private[graft] def editNeighbors(dict: DataFrame,
+      typos: DataFrame): DataFrame = {
+    // {s} ∪ all single-char deletions of column `n`
+    def dels(n: String) =
+      concat(array(col(n)), expr(
+        s"transform(sequence(1, length($n)), i -> " +
+          s"concat(substring($n, 1, i-1), " +
+          s"substring($n, i+1, length($n))))"))
+    val vvar = dict.select(col("w"), explode(dels("w")).as("v"))
+    val tvar = typos.select(col("doc_id"), col("typo"),
+      explode(dels("typo")).as("v"))
+    tvar.join(vvar, "v")
+      .where(levenshtein(col("typo"), col("w")) <= 1)
+      .select(col("doc_id"), col("typo"), col("w"),
+        levenshtein(col("typo"), col("w")).as("dist"))
+      .distinct()
+  }
+
   val queries: Map[String, QFn] = Map(
     "text_tokenize" -> ((s: SparkSession, d: String) =>
       t(s, d, "documents")
@@ -393,29 +421,15 @@ object TextSimOps {
     // assumed.
     "sim_edit_neighbors" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
-      // {s} ∪ all single-char deletions of column `n`
-      def dels(n: String) =
-        concat(array(col(n)), expr(
-          s"transform(sequence(1, length($n)), i -> " +
-            s"concat(substring($n, 1, i-1), " +
-            s"substring($n, i+1, length($n))))"))
-      val vvar = docs.select(explode(split(col("text"), " ")).as("w"))
+      val dict = docs.select(explode(split(col("text"), " ")).as("w"))
         .distinct()
-        .select(col("w"), explode(dels("w")).as("v"))
-      val tvar = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val typos = docs.where(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), split(col("text"), " ").getItem(0).as("tw"))
         .select(col("doc_id"), concat(
           expr("substring(tw, 1, CAST(doc_id % length(tw) AS INT))"),
           expr("substring(tw, CAST(doc_id % length(tw) AS INT) + 2, " +
             "length(tw))")).as("typo"))
-        .select(col("doc_id"), col("typo"),
-          explode(dels("typo")).as("v"))
-      tvar.join(vvar, "v")
-        .where(levenshtein(col("typo"), col("w")) <= 1)
-        .select(col("doc_id"), col("typo"), col("w"),
-          levenshtein(col("typo"), col("w")).as("dist"))
-        .distinct()
-        .orderBy("doc_id", "w")
+      editNeighbors(dict, typos).orderBy("doc_id", "w")
     }),
 
     // Containment (subset-dup) detection — the dedup case symmetric

@@ -268,6 +268,38 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("deletion-neighborhood join equals brute-force levenshtein on dense alphabets") {
+    val ss = spark
+    import ss.implicits._
+    // 3-letter alphabet, lengths 1..5 → the string space is DENSE:
+    // near-pairs abound, including the boundary cases the corpus never
+    // produces (length-1 words, equal strings, pure inserts/deletes)
+    def randWord(): String =
+      Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar).mkString
+    for (trial <- 1 to 3) {
+      val dict = Seq.fill(80)(randWord()).distinct.map(Tuple1(_))
+        .toDF("w")
+      val typos = (0 until 60).map(i => (i.toLong, randWord()))
+        .toDF("doc_id", "typo")
+      val got = operators.TextSimOps.editNeighbors(dict, typos)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3))).toSet
+      val want = typos.crossJoin(dict)
+        .where(levenshtein(col("typo"), col("w")) <= 1)
+        .select(col("doc_id"), col("typo"), col("w"),
+          levenshtein(col("typo"), col("w")).as("dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3))).toSet
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(5)} " +
+          s"extra=${(got -- want).take(5)}")
+      // the trial must exercise dist-0 and dist-1 matches
+      assert(want.exists(_._4 == 0) && want.exists(_._4 == 1))
+    }
+  }
+
   test("snapshotDiff recovers the effective changes of a random edit") {
     val ss = spark
     import ss.implicits._
