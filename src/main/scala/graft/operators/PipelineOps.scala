@@ -105,6 +105,27 @@ object PipelineOps {
         .orderBy("colname")
     }),
 
+    // Tokenizer-training support: the distributed inner step of BPE —
+    // count adjacent symbol pairs over the word-frequency table (at
+    // char level here; after k merges the same shape runs over the
+    // merged-symbol sequences). This is the step that must scale: pair
+    // counts aggregate over the VOCABULARY (Heaps-sublinear), weighted
+    // by word frequency, never over raw tokens — the corpus crosses
+    // the wire once to build the word table, every BPE iteration after
+    // that is vocabulary-sized. Top-20 with a deterministic pair
+    // tie-break = the next-merge candidate list.
+    "pipe_bpe_pairs" -> ((s: SparkSession, d: String) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      words.where(length(col("w")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("bg"))
+        .groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg")).limit(20)
+    }),
+
     "pipe_training_mix" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       // 1) exact dedup: deterministically keep the min doc id per
@@ -388,6 +409,14 @@ object PipelineOps {
         "CAST(count(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT), " +
         "CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL FROM e " +
         "ORDER BY colname"),
+    "pipe_bpe_pairs" ->
+      ("WITH words AS (SELECT w, count(*) AS c FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+        "pos AS (SELECT w, c, unnest(generate_series(1, " +
+        "CAST(len(w) AS BIGINT) - 1)) AS i FROM words WHERE len(w) >= 2) " +
+        "SELECT substr(w, CAST(i AS INT), 2) AS bg, " +
+        "CAST(sum(c) AS BIGINT) AS cnt FROM pos " +
+        "GROUP BY 1 ORDER BY cnt DESC, bg LIMIT 20"),
     "pipe_training_mix" ->
       ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(lower(trim(text)))), " +
