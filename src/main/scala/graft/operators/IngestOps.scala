@@ -109,6 +109,22 @@ object IngestOps {
     path
   }
 
+  /** Two parquet generations under one root: gen=1 lacks the `etype`
+    * column that gen=2 carries — the additive schema-evolution shape
+    * every long-lived lake table accumulates. */
+  private[graft] def writeEvoFixture(s: SparkSession, d: String): String = {
+    val path = s"${fixtureRoot(d)}/events_evo"
+    val e = events(s, d)
+    e.where(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/gen=1")
+    e.where(pmod(col("event_id"), lit(2)) =!= 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("etype"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
+    path
+  }
+
   private[graft] def writePartitionedFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_byday"
     events(s, d)
@@ -188,6 +204,20 @@ object IngestOps {
         .orderBy("event_id")
     }),
 
+    // Additive schema evolution: older files lack a column newer files
+    // carry; mergeSchema unions the per-file schemas and NULL-fills the
+    // missing column — the read contract that lets a 100 TB table add
+    // columns without rewriting history. The oracle reconstructs the
+    // same rows from the ORIGINAL parquet, so a wrong fill (dropped
+    // rows, misaligned columns, non-NULL garbage) fails the hash.
+    "scan_schema_evolve" -> ((s: SparkSession, d: String) => {
+      val path = writeEvoFixture(s, d)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("etype"), col("gen").cast("bigint").as("gen"))
+        .orderBy("event_id")
+    }),
+
     // Hive-style partition pruning: one day out of 30 — the scan must
     // carry a PartitionFilter and touch only that day's files (PlanSpec
     // asserts files-read < files-total; the oracle checks the values
@@ -246,6 +276,11 @@ object IngestOps {
         "format='newline_delimited', columns={'event_id':'BIGINT'," +
         "'user_id':'BIGINT','m':'STRUCT(t VARCHAR, \"value\" DOUBLE)'," +
         "'props':'STRUCT(k BIGINT)'}) ORDER BY event_id"),
+    "scan_schema_evolve" ->
+      ("SELECT event_id, user_id, value, " +
+        "CASE WHEN event_id % 2 <> 0 THEN event_type END AS etype, " +
+        "CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS gen " +
+        "FROM events ORDER BY event_id"),
     "scan_orc_nested" ->
       ("SELECT event_id, user_id, event_type AS etype, value AS v, " +
         "'x' || CAST(event_id % 5 AS VARCHAR) AS tag1, " +
