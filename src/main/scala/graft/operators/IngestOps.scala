@@ -231,6 +231,29 @@ object IngestOps {
         .orderBy("event_id")
     }),
 
+    // Bucketed co-located fact⋈fact join — the single biggest join
+    // lever at 100 TB (DESIGN §3): both sides written bucketBy the
+    // join key with equal bucket counts, so the join's shuffle is paid
+    // ONCE at write time and the read-side join plans with ZERO
+    // exchange (PlanSpec asserts SMJ + no Exchange + Bucketed: true
+    // with broadcast disabled). This key adds the ORACLE dimension the
+    // plan assertion can't: the layout round-trip must be value-exact
+    // against the plain join over the original parquet.
+    "join_bucketed_colocate" -> ((s: SparkSession, d: String) => {
+      val sink = new graft.sources.BucketedParquetSink(8, Seq("k"))
+      sink.write(t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice")),
+        "graft_li_bkt")
+      sink.write(t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus")),
+        "graft_ord_bkt")
+      s.table("graft_li_bkt").join(s.table("graft_ord_bkt"), "k")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sumDec(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // DYNAMIC partition pruning — the 100 TB star-join read pattern:
     // the fact's day set comes from a FILTERED dim (tag = 1 → 1/3 of
     // days), so static pruning cannot fire; Catalyst injects a
@@ -276,6 +299,11 @@ object IngestOps {
         "format='newline_delimited', columns={'event_id':'BIGINT'," +
         "'user_id':'BIGINT','m':'STRUCT(t VARCHAR, \"value\" DOUBLE)'," +
         "'props':'STRUCT(k BIGINT)'}) ORDER BY event_id"),
+    "join_bucketed_colocate" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        oSumDec("l_extendedprice") + " AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_schema_evolve" ->
       ("SELECT event_id, user_id, value, " +
         "CASE WHEN event_id % 2 <> 0 THEN event_type END AS etype, " +
