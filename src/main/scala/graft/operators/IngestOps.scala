@@ -240,6 +240,17 @@ object IngestOps {
     // plan assertion can't: the layout round-trip must be value-exact
     // against the plain join over the original parquet.
     "join_bucketed_colocate" -> ((s: SparkSession, d: String) => {
+      // saveAsTable(Overwrite) only overwrites tables the CURRENT
+      // catalog knows; a fresh JVM with a stale warehouse dir (a prior
+      // run's leftover) throws LOCATION_ALREADY_EXISTS instead. Drop
+      // both the catalog entry (same-JVM re-run) and the on-disk
+      // location (fresh-JVM re-run) before writing.
+      Seq("graft_li_bkt", "graft_ord_bkt").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s"${s.conf.get("spark.sql.warehouse.dir")}/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       val sink = new graft.sources.BucketedParquetSink(8, Seq("k"))
       sink.write(t(s, d, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_extendedprice")),
