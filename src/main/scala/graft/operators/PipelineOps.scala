@@ -105,6 +105,32 @@ object PipelineOps {
         .orderBy("colname")
     }),
 
+    // Temperature-balanced source mixing — the multilingual/multi-source
+    // rebalancing every large pretraining mix applies (sampling weight
+    // ∝ n^α, α < 1 upweights small sources). α = 1/2 here, in EXACT
+    // fixed point so the weights are hash-oracle-able: s_i =
+    // floor(sqrt(n_i · 10¹²)) is an exact BIGINT (n·10¹² < 2⁵³ is
+    // exactly representable and IEEE sqrt is correctly rounded in both
+    // engines, so floor agrees bit-for-bit); the normalizer Σs_i is an
+    // exact integer sum (merge-order independent); the final weight is
+    // ONE IEEE division + round6 at the output boundary. A naive
+    // Σ pow(n, α) of doubles would be partition-order nondeterministic
+    // AND libm-divergent across engines — the same trap rule 1 solves
+    // for money, solved the same way: integers until the boundary.
+    "pipe_mix_temperature" -> ((s: SparkSession, d: String) => {
+      val per = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+        .withColumn("s",
+          floor(sqrt(col("n").cast("double") * lit(1e12))).cast("long"))
+      val tot = per.agg(sum(col("s")).as("st"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("toks"),
+          round6(col("s").cast("double") / col("st").cast("double"))
+            .as("w"))
+        .orderBy("source")
+    }),
+
     // Tokenizer-training support: the distributed inner step of BPE —
     // count adjacent symbol pairs over the word-frequency table (at
     // char level here; after k merges the same shape runs over the
@@ -409,6 +435,17 @@ object PipelineOps {
         "CAST(count(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT), " +
         "CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL FROM e " +
         "ORDER BY colname"),
+    "pipe_mix_temperature" ->
+      ("WITH per AS (SELECT source, count(*) AS n, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks " +
+        "FROM documents GROUP BY source), " +
+        "sc AS (SELECT source, n, toks, " +
+        "CAST(floor(sqrt(CAST(n AS DOUBLE) * 1e12)) AS BIGINT) AS s " +
+        "FROM per), " +
+        "tot AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM sc) " +
+        "SELECT source, n, toks, " +
+        oRound6("CAST(s AS DOUBLE) / CAST(st AS DOUBLE)") + " AS w " +
+        "FROM sc, tot ORDER BY source"),
     "pipe_bpe_pairs" ->
       ("WITH words AS (SELECT w, count(*) AS c FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
