@@ -208,10 +208,12 @@ class PlanSpec extends SparkTestBase {
     //  - search_rrf_hybrid: 1×N broadcast attaches of the 1-row query
     //    embedding (dense side, the knn_cosine shape) and the 1-row
     //    corpus-count aggregate (idf denominator)
+    //  - pipe_mix_temperature: 1×S broadcast of the 1-row integer
+    //    normalizer (Σ s_i) onto the source-count table (S = #sources)
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
       "text_lm_score", "text_tfidf_top", "pipe_dataset_card",
-      "search_rrf_hybrid")
+      "search_rrf_hybrid", "pipe_mix_temperature")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
