@@ -29,6 +29,21 @@ object FnOps {
         concat(col("p_brand"), lit(":"), col("p_type")).as("cat"))
         .orderBy("p_partkey")),
 
+    // Hash family — the fingerprinting/bucketing staple: md5 and
+    // sha2-256 hex digests (engine-portable by definition), plus a
+    // composite-key hash over a delimiter-joined column pair (the
+    // surrogate-key recipe; the delimiter prevents ("ab","c")/("a","bc")
+    // collisions). xxhash64 stays internal-only: DuckDB has no matching
+    // surface, and the md5-derived paths (dedup_exact, sample_stratified)
+    // already prove the cross-engine hash discipline.
+    "fn_hash" -> ((s: SparkSession, d: String) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        md5(concat_ws("|", col("p_brand"), col("p_type"))).as("h_comp"))
+        .orderBy("p_partkey")),
+
     "fn_date" -> ((s: SparkSession, d: String) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
@@ -120,6 +135,10 @@ object FnOps {
         "trim('  ' || p_brand || '  ') AS trm, " +
         "CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS likef, " +
         "p_brand || ':' || p_type AS cat FROM part ORDER BY p_partkey"),
+    "fn_hash" ->
+      ("SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256, " +
+        "md5(p_brand || '|' || p_type) AS h_comp " +
+        "FROM part ORDER BY p_partkey"),
     "fn_date" ->
       ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, " +
         "CAST(year(o_orderdate) AS INTEGER) AS yr, " +
