@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -60,6 +61,22 @@ object AnalyticsOps {
         .orderBy("user_id")
     }),
 
+    // First-order transition counts over each user's event sequence —
+    // the Markov-chain estimation step behind next-event prediction and
+    // session-flow analysis: (from → to) pair frequencies via ONE
+    // user-partitioned lead(), then a 2-phase count keyed on the pair.
+    // At 100 TB the lead window shuffles once on user_id and the pair
+    // agg carries |event_type|² ≤ 25 groups — nothing global anywhere.
+    "seq_transition_counts" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("from_type", "next_type")
+    }),
+
     // Cohort retention: cohort = a user's first active day; for each
     // (cohort day, day offset), distinct users active that day. The
     // exact-integer day arithmetic keys everything.
@@ -90,6 +107,15 @@ object AnalyticsOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "seq_transition_counts" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(ts) AS ts_us FROM events), " +
+        "t AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type " +
+        "FROM e) " +
+        "SELECT from_type, next_type, count(*) AS cnt FROM t " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2 " +
+        "ORDER BY from_type, next_type"),
     "seq_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us " +
         "FROM events), " +

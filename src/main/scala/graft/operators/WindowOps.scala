@@ -26,6 +26,27 @@ object WindowOps {
         .orderBy("o_orderkey")
     }),
 
+    // Running DISTINCT count — the windowed COUNT(DISTINCT) no engine
+    // supports directly, via the standard two-window rewrite: flag each
+    // row that is the FIRST occurrence of its (user, event_type) (a
+    // per-subkey row_number), then running-sum the flags per user. Both
+    // windows are user-partitioned (the second's key is a prefix of the
+    // first's sort-free repartition), so the plan stays one user-keyed
+    // exchange — no global window, any scale.
+    "win_running_distinct" -> ((s: SparkSession, d: String) => {
+      val w1 = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("first_seen",
+          when(row_number().over(w1) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"),
+          sum(col("first_seen")).over(w2).as("n_types_seen"))
+        .orderBy("event_id")
+    }),
+
     "win_topk_group" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -107,6 +128,15 @@ object WindowOps {
     "OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
 
   val oracle: Map[String, String] = Map(
+    "win_running_distinct" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, " +
+        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY epoch_us(ts), event_id) = 1 THEN 1 ELSE 0 END AS fs " +
+        "FROM events) " +
+        "SELECT event_id, user_id, event_type, ts_us, " +
+        "CAST(sum(fs) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS n_types_seen FROM e ORDER BY event_id"),
     "win_rank" ->
       (s"SELECT o_orderkey, o_custkey, row_number() $rankOver AS rn, " +
         s"rank() $rankOver AS rk, dense_rank() $rankOver AS drk " +
