@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // IngestOps' oracles read fixtures this run writes — pin the oracle
+    // fixture SF to THIS run's sfDir so the dumped SQL can never aim at
+    // a stale fixture from a different scale (ADVICE r6).
+    System.setProperty("graft.oracle.sf", new java.io.File(sfDir).getName)
     // SPARK_GRAFT_ONLY=k1,k2 restricts the dump to named keys (same
     // contract as Bench) — pair with parity.py's key-list argument for
     // a single-key cross-scale re-proof without a full-surface run.

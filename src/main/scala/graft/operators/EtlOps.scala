@@ -197,10 +197,16 @@ object EtlOps {
 
   /** Parameterized body of `etl_snapshot_diff`: old/new keyed snapshots
     * (k, p) → changelog rows (k, change ∈ D/I/U, old_p, new_p), with
-    * unchanged keys filtered out. Payload equality is exact (`=!=` on
-    * the raw column — for doubles that is bitwise IEEE equality, the
-    * right contract for "did the stored value change"). Requires k
-    * unique per snapshot, the same precondition as cdcApply's base. */
+    * unchanged keys filtered out. Payload CHANGE detection is null-safe
+    * (`<=>` negated — ADVICE r6: the old `=!=` evaluated to NULL on a
+    * matched key with a NULL payload on one side, silently dropping a
+    * real NULL↔value update from the changelog); for non-null doubles
+    * it is the same bitwise IEEE comparison as before. The emitted
+    * old_p/new_p payloads are quantized to DECIMAL(18,2) (the money
+    * output convention every EtlOps key uses) — change DETECTION runs
+    * on the raw column, so two values that differ below a cent still
+    * emit a 'U' row. Requires k unique per snapshot, the same
+    * precondition as cdcApply's base. */
   private[graft] def snapshotDiff(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val x = a.select(col("k").as("ka"), col("p").as("pa"))
@@ -209,7 +215,7 @@ object EtlOps {
       .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
         when(col("kb").isNull, "D")
           .when(col("ka").isNull, "I")
-          .when(col("pa") =!= col("pb"), "U").as("change"),
+          .when(!(col("pa") <=> col("pb")), "U").as("change"),
         moneyOut(col("pa")).as("old_p"), moneyOut(col("pb")).as("new_p"))
       .where(col("change").isNotNull)
   }

@@ -37,8 +37,22 @@ object IngestOps {
   /** 2024-01-05; inside the 19723..19752 event-day range at every SF. */
   private val PrunedDay = 19727L
 
+  /** Fixture root derived from the PROCESS cwd, not a baked repo path
+    * (ADVICE r6: the hardcoded /root/repo broke a moved checkout). */
   private[graft] def fixtureRoot(d: String): String =
-    s"/root/repo/target/fixtures/${new java.io.File(d).getName}"
+    s"${new java.io.File("target/fixtures").getAbsolutePath}/" +
+      new java.io.File(d).getName
+
+  /** Fixture writes memoized per (JVM, path): writers are deterministic
+    * per sfDir and the path embeds the SF, so re-running a key re-reads
+    * the identical bytes instead of re-writing them. This is what keeps
+    * the write scaffolding out of Bench's timed region (ADVICE r6): the
+    * first call — Bench's untimed prepare, or attempt 1 — pays the
+    * write; every later call is read-only. */
+  private val writtenOnce =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def once(path: String)(body: => Unit): String =
+    writtenOnce.getOrElseUpdate(path, { body; path })
 
   /** One deterministic text file: single partition, sorted by event_id
     * before the line projection, so fixture bytes are run-invariant. */
@@ -53,6 +67,7 @@ object IngestOps {
 
   private[graft] def writeCsvFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_csv"
+    once(path) {
     val e = events(s, d)
     val c0 = col("event_id").cast("string")
     val c1 = when(pmod(col("event_id"), lit(11)) === 0, lit(""))
@@ -66,11 +81,12 @@ object IngestOps {
         concat(lit(" "), col("ts_us").cast("string"), lit(" ")))
       .otherwise(col("ts_us").cast("string"))
     writeLines(e, concat_ws(",", c0, c1, q4180(messyType), c3, c4), path)
-    path
+    }
   }
 
   private[graft] def writeJsonFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_json"
+    once(path) {
     val e = events(s, d)
     // to_json drops null fields (default ignoreNullFields) — the %11/%7
     // residues therefore produce rows with MISSING keys, which is the
@@ -86,7 +102,7 @@ object IngestOps {
       from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("props"))
     writeLines(e, to_json(doc), path)
-    path
+    }
   }
 
   /** ORC fixture with COMPLEX types — struct + array columns — so the
@@ -97,6 +113,7 @@ object IngestOps {
     * libs), so `format("avro")` cannot resolve offline. */
   private[graft] def writeOrcFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_orc"
+    once(path) {
     events(s, d)
       .select(
         col("event_id"), col("user_id"),
@@ -106,7 +123,7 @@ object IngestOps {
           .as("tags"),
         col("ts_us"))
       .write.mode(SaveMode.Overwrite).orc(path)
-    path
+    }
   }
 
   /** Two parquet generations under one root: gen=1 lacks the `etype`
@@ -114,6 +131,7 @@ object IngestOps {
     * every long-lived lake table accumulates. */
   private[graft] def writeEvoFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_evo"
+    once(path) {
     val e = events(s, d)
     e.where(pmod(col("event_id"), lit(2)) === 0)
       .select(col("event_id"), col("user_id"), col("value"))
@@ -122,17 +140,18 @@ object IngestOps {
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type").as("etype"))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
-    path
+    }
   }
 
   private[graft] def writePartitionedFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/events_byday"
+    once(path) {
     events(s, d)
       .withColumn("day", expr(s"ts_us div $DayUs"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts_us"), col("day"))
       .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
-    path
+    }
   }
 
   /** Small day-dimension parquet (one row per distinct event day, tag =
@@ -142,12 +161,13 @@ object IngestOps {
     * any skipped file is DPP's doing. */
   private[graft] def writeDayDimFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/day_dim"
+    once(path) {
     events(s, d)
       .select(expr(s"ts_us div $DayUs").as("day")).distinct()
       .withColumn("tag", pmod(col("day"), lit(3L)))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(path)
-    path
+    }
   }
 
   val queries: Map[String, QFn] = Map(
@@ -240,24 +260,7 @@ object IngestOps {
     // plan assertion can't: the layout round-trip must be value-exact
     // against the plain join over the original parquet.
     "join_bucketed_colocate" -> ((s: SparkSession, d: String) => {
-      // saveAsTable(Overwrite) only overwrites tables the CURRENT
-      // catalog knows; a fresh JVM with a stale warehouse dir (a prior
-      // run's leftover) throws LOCATION_ALREADY_EXISTS instead. Drop
-      // both the catalog entry (same-JVM re-run) and the on-disk
-      // location (fresh-JVM re-run) before writing.
-      Seq("graft_li_bkt", "graft_ord_bkt").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(
-          s"${s.conf.get("spark.sql.warehouse.dir")}/$tbl")
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-      val sink = new graft.sources.BucketedParquetSink(8, Seq("k"))
-      sink.write(t(s, d, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_extendedprice")),
-        "graft_li_bkt")
-      sink.write(t(s, d, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderstatus")),
-        "graft_ord_bkt")
+      writeBucketedTables(s, d)
       s.table("graft_li_bkt").join(s.table("graft_ord_bkt"), "k")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
@@ -283,17 +286,54 @@ object IngestOps {
         .orderBy("day")
     }))
 
-  /** Oracle reads the fixture the Verify run just wrote. The driver's
-    * correctness gate runs at sf0.01 only (SURVEY §5), so that is the
-    * default; SPARK_GRAFT_ORACLE_SF overrides it so the determinism
-    * policy can be re-proven at sf0.1 locally (DESIGN §2 discipline —
-    * parity at 10× data and different parallelism). The partitioned
-    * keys' oracles read the ORIGINAL parquet, proving the layout
-    * round-trip changed nothing. */
-  private val OracleFixtures = "/root/repo/target/fixtures/" +
-    sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+  /** Bucketed fact tables for `join_bucketed_colocate`, written once per
+    * JVM (same memo discipline as the file fixtures). saveAsTable
+    * (Overwrite) only overwrites tables the CURRENT catalog knows; a
+    * fresh JVM with a stale warehouse dir (a prior run's leftover)
+    * throws LOCATION_ALREADY_EXISTS instead — so drop both the catalog
+    * entry (same-JVM re-run) and the on-disk location (fresh-JVM
+    * re-run) before writing. */
+  private def writeBucketedTables(s: SparkSession, d: String): Unit =
+    once(s"bucketed-tables:$d") {
+      Seq("graft_li_bkt", "graft_ord_bkt").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(
+          s"${s.conf.get("spark.sql.warehouse.dir")}/$tbl")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val sink = new graft.sources.BucketedParquetSink(8, Seq("k"))
+      sink.write(t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_extendedprice")),
+        "graft_li_bkt")
+      sink.write(t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus")),
+        "graft_ord_bkt")
+    }
 
-  val oracle: Map[String, String] = Map(
+  /** Pre-materializes every fixture this module's keys read, so a
+    * caller that wants write scaffolding OUT of a timed region (Bench —
+    * ADVICE r6) can pay it once up front; the per-key `once` memo then
+    * makes the in-key write calls no-ops. */
+  private[graft] def prepareFixtures(s: SparkSession, d: String): Unit = {
+    writeCsvFixture(s, d); writeJsonFixture(s, d); writeOrcFixture(s, d)
+    writeEvoFixture(s, d); writePartitionedFixture(s, d)
+    writeDayDimFixture(s, d); writeBucketedTables(s, d)
+  }
+
+  /** Oracle reads the fixture the Verify run just wrote. Resolution
+    * order for the fixture SF (ADVICE r6 — the old form baked sf0.01 +
+    * an absolute repo path at object init, so a Verify run at another
+    * SF emitted oracle SQL aimed at a stale fixture): the
+    * `graft.oracle.sf` system property, which Verify sets from ITS OWN
+    * sfDir argument before dumping oracle_sql.json; then
+    * SPARK_GRAFT_ORACLE_SF; then the driver's sf0.01 default. `oracle`
+    * is a def so the path resolves at dump time, not class-load time,
+    * and the root follows the process cwd like [[fixtureRoot]]. */
+  def oracle: Map[String, String] = {
+    val OracleFixtures = s"${new java.io.File("target/fixtures").getAbsolutePath}/" +
+      sys.props.getOrElse("graft.oracle.sf",
+        sys.env.getOrElse("SPARK_GRAFT_ORACLE_SF", "sf0.01"))
+    Map(
     "scan_csv_messy" ->
       ("SELECT TRY_CAST(c0 AS BIGINT) AS event_id, " +
         "TRY_CAST(c1 AS BIGINT) AS user_id, c2 AS etype, " +
@@ -333,4 +373,5 @@ object IngestOps {
       (s"WITH e AS (SELECT epoch_us(ts) // $DayUs AS day, value FROM events) " +
         "SELECT day, count(*) AS cnt, " + oSumDec("value") + " AS sum_v " +
         "FROM e WHERE day % 3 = 1 GROUP BY day ORDER BY day"))
+  }
 }

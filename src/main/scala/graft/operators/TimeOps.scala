@@ -76,8 +76,16 @@ object TimeOps {
 
     // Batch replay of the 10-min watermark: a row is late iff it arrives
     // (event_id order) with ts_us below the running max minus the delay.
+    // The corpus' ts is near-monotone in event_id, so the raw table has
+    // ZERO late rows at every graded SF and the oracle compare was
+    // vacuous (ADVICE r6); a deterministic straggler injection — every
+    // 53rd event arrives 20 min stale, mirrored exactly in the oracle —
+    // makes the late set non-empty (~2% of rows) so the two-level
+    // bucketed high-watermark rewrite is hash-checked on real output.
     "stream_late_data" -> ((s: SparkSession, d: String) =>
-      lateData(events(s, d), 4096L)),
+      lateData(events(s, d).withColumn("ts_us",
+        col("ts_us") - when(pmod(col("event_id"), lit(53)) === 0,
+          1200L * 1000000L).otherwise(0L)), 4096L)),
 
     // Resample + gap-fill — the time-series op every metrics/feature
     // pipeline needs and plain groupBy(window) cannot produce: a DENSE
@@ -250,9 +258,11 @@ object TimeOps {
         "GROUP BY 1, 2, 3 ORDER BY user_id, ts_us, event_type"),
     "stream_late_data" ->
       ("SELECT event_id, user_id, ts_us, hwm FROM " +
-        "(SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
-        "max(epoch_us(ts)) OVER (ORDER BY event_id ROWS BETWEEN " +
-        "UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM events) " +
+        "(SELECT event_id, user_id, t2 AS ts_us, " +
+        "max(t2) OVER (ORDER BY event_id ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM " +
+        "(SELECT event_id, user_id, epoch_us(ts) - CASE WHEN " +
+        "event_id % 53 = 0 THEN 1200000000 ELSE 0 END AS t2 FROM events)) " +
         "WHERE hwm IS NOT NULL AND ts_us < hwm - 600000000 ORDER BY event_id"),
     "window_gapfill" ->
       (s"WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us, " +

@@ -29,10 +29,12 @@ object WindowOps {
     // Running DISTINCT count — the windowed COUNT(DISTINCT) no engine
     // supports directly, via the standard two-window rewrite: flag each
     // row that is the FIRST occurrence of its (user, event_type) (a
-    // per-subkey row_number), then running-sum the flags per user. Both
-    // windows are user-partitioned (the second's key is a prefix of the
-    // first's sort-free repartition), so the plan stays one user-keyed
-    // exchange — no global window, any scale.
+    // per-subkey row_number), then running-sum the flags per user. The
+    // plan is two exchanges — hashpartitioning(user_id, event_type) for
+    // the first-seen window, then hashpartitioning(user_id) for the
+    // running sum (Spark does not satisfy the coarser key from the
+    // finer one; ADVICE r6 corrected the old one-exchange claim) — but
+    // both are KEYED: no global single-partition window at any scale.
     "win_running_distinct" -> ((s: SparkSession, d: String) => {
       val w1 = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
