@@ -18,7 +18,15 @@ object Bench {
     // whichever query touched a table first was otherwise charged its
     // one-time cost (r02: join_cross 4.0 s cold vs ~1 s steady-state,
     // dedup_exact 2.9 s cold vs 0.5 s warm).
-    Tables.AllTables.foreach(n => Tables.t(spark, sfDir, n).count())
+    // Crash-proof (VERDICT r9 #2): a broken table/fixture must degrade to
+    // "that key reports its crash time", never "the round reports nothing"
+    // — an uncaught AnalysisException here zeroed BENCH_r08 and r09.
+    Tables.AllTables.foreach { n =>
+      try Tables.t(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup failed for $n: ${e.getMessage}")
+      }
+    }
     // SPARK_GRAFT_ONLY=k1,k2 restricts to named keys — isolated
     // steady-state timing (in-suite numbers carry neighbor GC/page
     // pressure; see DESIGN §5).
@@ -32,7 +40,10 @@ object Bench {
     // attempt (ADVICE r6); the per-path memo then makes the in-key
     // write calls no-ops.
     if (selected.keys.exists(operators.IngestOps.queries.contains))
-      operators.IngestOps.prepareFixtures(spark, sfDir)
+      try operators.IngestOps.prepareFixtures(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prepareFixtures failed: ${e.getMessage}")
+      }
     // Min-of-R with a GC settle per attempt (VERDICT r5 #2): in-suite
     // single-shot times swing ~2× vs isolated steady-state with zero
     // code change (sim_jaccard_pairs 10.17 s in-suite vs 5.57 s

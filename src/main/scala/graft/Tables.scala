@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Table registry + determinism helpers (SURVEY §1.3, §7.3).
   *
   * All testdata tables are fixed-schema single parquet files. The one
-  * interop trap: `events.ts` is INT64 TIMESTAMP(NANOS,false), which vanilla
-  * Spark 4.1.2 refuses to read ([PARQUET_TYPE_ILLEGAL]); we set the legacy
-  * nanosAsLong flag before every read (idempotent, runtime-settable) and
-  * normalize to an epoch-microsecond BIGINT `ts_us` via floor division,
-  * matching DuckDB 1.0's ns→µs truncation on the oracle side.
+  * interop trap: `events.ts` has shipped as two different physical types
+  * across driver testdata generations — INT64 TIMESTAMP(NANOS,false)
+  * (rounds ≤7; Spark refuses it without the legacy nanosAsLong flag and
+  * then reads it as LongType ns) and INT64 TIMESTAMP(MICROS, NTZ)
+  * (rounds ≥8; Spark reads it natively as TIMESTAMP_NTZ). [[events]]
+  * dispatches on the read dtype and normalizes either to the same
+  * epoch-microsecond BIGINT `ts_us` (= DuckDB `epoch_us(ts)`), so every
+  * downstream operator and oracle is generation-independent.
   *
   * Scale note (100 TB design): loaders return plain DataFrames so Catalyst
   * retains full pushdown/pruning freedom; nothing is cached or collected
@@ -27,9 +30,23 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts_us`: epoch-µs BIGINT, floor(ns/1000). */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events").withColumn("ts_us", expr("ts div 1000"))
+  /** events with `ts_us`: epoch-µs BIGINT, type-dispatched over the two
+    * testdata generations (see header). The UTC session timezone makes
+    * `cast(ts_ntz as timestamp)` value-preserving, so `unix_micros` equals
+    * DuckDB's `epoch_us(ts)` exactly; on the old ns LongType read,
+    * floor-division matches DuckDB's ns→µs truncation. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _: TimestampNTZType => expr("unix_micros(cast(ts as timestamp))")
+      case TimestampType => expr("unix_micros(ts)")
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type $other — testdata regenerated " +
+          "again? Extend Tables.events dispatch.")
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   val AllTables: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
@@ -42,6 +59,34 @@ object Tables {
       val df = if (n == "events") events(spark, sfDir) else t(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** Pin an iteratively-reused frame (lineage truncation for the CC /
+    * PageRank / BFS round discipline — each round references the prior
+    * frame ≥2×, and an unpinned chain re-executes 2^rounds times).
+    *
+    * Default is `localCheckpoint(eager=false)`: executor-local blocks, no
+    * DFS round-trip — right for local mode and benchmarks. Its cluster
+    * caveat (VERDICT r6 item 3): executor loss discards the blocks AND the
+    * truncated lineage, failing the job. Setting
+    * `spark.graft.checkpointDir=<dfs path>` switches every pin in the
+    * engine to a RELIABLE `checkpoint()` into that directory, the
+    * fault-tolerant form a 1000-executor run wants; one config flip, no
+    * code change. */
+  def pin(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = false)
+      case _ => df.localCheckpoint(eager = false)
+    }
+  }
+
+  /** Postfix form of [[pin]] for call-site brevity in iterative ops. */
+  implicit class PinSyntax(private val df: DataFrame) {
+    def pinned: DataFrame = pin(df)
+  }
 
   val D18_2: DecimalType = DecimalType(18, 2)
 

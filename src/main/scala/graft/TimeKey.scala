@@ -20,7 +20,12 @@ object TimeKey {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.AllTables.foreach(n => Tables.t(spark, sfDir, n).count())
+    Tables.AllTables.foreach { n =>
+      try Tables.t(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[timekey] warmup failed for $n: ${e.getMessage}")
+      }
+    }
     val fn = SparkEntry.queries(key)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()

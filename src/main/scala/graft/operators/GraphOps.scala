@@ -39,10 +39,10 @@ object GraphOps {
       .distinct()
     val withDeg = edges
       .join(edges.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
-      .localCheckpoint(false)
+      .pinned
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
-      .localCheckpoint(false)
+      .pinned
     var rank = nodes.select(col("node"), lit(One).as("r"))
     for (_ <- 1 to Iters) {
       val contrib = withDeg
@@ -64,12 +64,20 @@ object GraphOps {
     // k-hop neighborhood (BFS min-hop distance) from one source node —
     // the reference platform's signature query shape ("is this address
     // within k hops of that entity"; SURVEY §0 [PUBLIC]). 4 rounds of
-    // frontier expansion over the undirected supplier↔part edge set;
-    // each round = one dest-keyed equi-join + min agg (2-phase), the
-    // running distance table pinned per round (localCheckpoint — the CC
-    // discipline: it is referenced twice per round, by the expansion
-    // join and the union, and would otherwise re-execute 2^rounds
-    // times). Exact integer hops, unrolled identically in the oracle.
+    // DELTA-FRONTIER expansion over the undirected supplier↔part edge
+    // set (VERDICT r6 item 4): each round joins edges against ONLY the
+    // nodes first reached last round — with unit weights the discovery
+    // hop IS the min hop, so excluding already-settled nodes (keyed
+    // left-anti against the accumulated distance table) is exact, and
+    // the expansion input shrinks from |reached| to |frontier| (near
+    // zero once the component saturates, vs the full-relaxation shape
+    // that rescans the whole distance table every round — 11 s at sf0.1
+    // in r7). Each frontier is pinned (referenced by both the next
+    // expansion and the final union); dist stays a lazy union of pinned
+    // frontiers, so no round re-executes prior rounds. At 100 TB this
+    // is the frontier-work-bound BFS a Pregel engine runs. Same result
+    // as full relaxation; the oracle keeps the relaxation form (DuckDB
+    // computes either instantly at oracle scale).
     "graph_bfs_hops" -> ((s: SparkSession, d: String) => {
       val e = t(s, d, "lineitem")
         .select(col("l_suppkey").as("u"),
@@ -77,17 +85,22 @@ object GraphOps {
         .distinct()
       val edges = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint(false)
-      var dist = edges.sparkSession.range(1)
+        .pinned
+      var frontier = edges.sparkSession.range(1)
         .select(lit(1L).as("node"), lit(0).as("hops"))
+        .pinned
+      var dist = frontier
       for (_ <- 1 to 4) {
-        val p = dist.localCheckpoint(false)
-        val frontier = edges
-          .join(p.select(col("node").as("u2"), col("hops").as("hu")),
+        val reached = edges
+          .join(frontier.select(col("node").as("u2"), col("hops").as("hu")),
             col("u") === col("u2"))
           .select(col("v").as("node"), (col("hu") + 1).as("hops"))
-        dist = p.union(frontier)
           .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        frontier = reached
+          .join(dist.select(col("node").as("n2")),
+            col("node") === col("n2"), "left_anti")
+          .pinned
+        dist = dist.union(frontier)
       }
       dist.orderBy("node")
     }),
@@ -158,7 +171,7 @@ object GraphOps {
     val dir = withDeg.select(
         when(lower, col("x")).otherwise(col("y")).as("u"),
         when(lower, col("y")).otherwise(col("x")).as("v"))
-      .localCheckpoint(false) // referenced 3× below (CC discipline)
+      .pinned // referenced 3× below (CC discipline)
     val tri = dir
       .join(dir.select(col("u").as("v2"), col("v").as("w")),
         col("v") === col("v2"))

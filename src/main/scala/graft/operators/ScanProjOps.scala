@@ -48,6 +48,10 @@ object ScanProjOps {
       li.orderBy(li.columns.map(col).toIndexedSeq: _*).limit(100)
     }),
 
+    // Key name is historical: events.ts was TIMESTAMP(NANOS) in testdata
+    // rounds ≤7, TIMESTAMP(MICROS, NTZ) since r8. Tables.events dispatches
+    // on the read dtype, so this key proves the dual-generation read path
+    // either way (output schema unchanged: event_id, epoch-µs BIGINT ts_us).
     "scan_parquet_nanos" -> ((s: SparkSession, d: String) =>
       events(s, d).select(col("event_id"), col("ts_us")).orderBy("event_id")),
 

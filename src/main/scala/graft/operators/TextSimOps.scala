@@ -124,7 +124,16 @@ object TextSimOps {
     tok.join(dfreq, "w")
       .withColumn("rnk", row_number().over(ord))
       .withColumn("c", count(lit(1)).over(full).cast("int"))
-      .select(col("doc_id"), col("w"), col("rnk"), col("c"))
+      // 64-bucket token bitmap (bucket = pmod(xxhash64(w), 64)) — the
+      // exact-prune substrate (r9 item 9): intersection tokens share a
+      // bucket bit, so popcount(bm_x & ~bm_y) LOWER-bounds the x-tokens
+      // missing from y, giving the candidate joins an exact per-pair
+      // upper bound on |x∩y| for one AND+POPCNT per matched row. Same
+      // window partition as rnk/c → no extra shuffle, one BIGINT wider.
+      .withColumn("bm", expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(xxhash64(w), 64) AS INT)))").over(full))
+      .select(col("doc_id"), col("w"), col("rnk"), col("c"), col("bm"))
   }
 
   /** Exact word-level Jaccard pairs at τ = tauPct/100 — identical output
@@ -186,18 +195,25 @@ object TextSimOps {
     // small and cheap to rebuild on retry; a fault-tolerance-first
     // deployment would swap in reliable checkpoint() at the cost of a
     // distributed-FS write per run.
-    val ranked = docRanked(s, d).localCheckpoint(false)
+    val ranked = docRanked(s, d).pinned
     val pfx = ranked
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
     val x = pfx.select(col("doc_id").as("da"), col("w"),
-      col("rnk").as("ra"), col("c").as("ca"))
+      col("rnk").as("ra"), col("c").as("ca"), col("bm").as("ba"))
     val y = pfx.select(col("doc_id").as("db"), col("w").as("wy"),
-      col("rnk").as("rb"), col("c").as("cb"))
+      col("rnk").as("rb"), col("c").as("cb"), col("bm").as("bb"))
+    // Bitmap prune (exact; see docRanked.bm): o ≤ ca − popcount(ba&~bb)
+    // and o ≤ cb − popcount(bb&~ba); J ≥ τ forces o·(100+τ) ≥ τ·(ca+cb),
+    // so either violated bound kills the matched row before emission.
     val cand = x.join(y, col("w") === col("wy") && col("da") < col("db") &&
         lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
         lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
         (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
-          lit(100 + tauPct) >= lit(tauPct) * (col("ca") + col("cb")))
+          lit(100 + tauPct) >= lit(tauPct) * (col("ca") + col("cb")) &&
+        expr(s"(ca - bit_count(ba & ~bb)) * ${100 + tauPct} >= " +
+          s"$tauPct * (ca + cb)") &&
+        expr(s"(cb - bit_count(bb & ~ba)) * ${100 + tauPct} >= " +
+          s"$tauPct * (ca + cb)"))
       .select(col("da"), col("db"))
     val dt = docTokensFrom(ranked)
     // threshold in single-occurrence form — (100+τ)·o ≥ τ·(ca+cb) ⟺
@@ -251,17 +267,23 @@ object TextSimOps {
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
       .select(col("doc_id").as("da"), col("w"),
         col("rnk").as("ra"), col("c").as("ca"),
-        (length(bin(col("c"))) - 1).as("kx"))
+        (length(bin(col("c"))) - 1).as("kx"), col("bm").as("ba"))
     val y = ranked.select(col("doc_id").as("db"),
       col("w").as("wy"), col("rnk").as("rb"), col("c").as("cb"),
       explode(sequence(lit(0),
         (length(bin(expr(s"(c - rnk + 1) * 100 div $tauPct"))) - 1)
-          .cast("int"))).as("ky"))
+          .cast("int"))).as("ky"), col("bm").as("bb"))
+    // Bitmap prune (exact; see docRanked.bm): containment only bounds
+    // x's missing tokens — o ≤ ca − popcount(ba & ~bb), and C ≥ τ
+    // needs o·100 ≥ τ·ca. One-sided, one AND+POPCNT per matched row;
+    // r6 measured 20.7 M candidate rows surviving the positional
+    // filters alone (corpus tokens are hot: ~32 M raw matches).
     x.join(y, col("w") === col("wy") &&
         col("kx") === col("ky") && col("da") =!= col("db") &&
         lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
         (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
-          lit(100) >= lit(tauPct) * col("ca"))
+          lit(100) >= lit(tauPct) * col("ca") &&
+        expr(s"(ca - bit_count(ba & ~bb)) * 100 >= $tauPct * ca"))
       .select(col("da"), col("db"))
   }
 
@@ -301,7 +323,7 @@ object TextSimOps {
         struct(col("db").as("ev"), col("da").as("eu")))).as("e"))
       .select(col("e.ev").as("ev"), col("e.eu").as("eu"))
       .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
-      .localCheckpoint(false)
+      .pinned
     // propagate references the running assignment exactly ONCE — Spark
     // performs no CSE across self-joins, so the shortcut's assign ⋈
     // assign shape would re-execute the whole upstream 3^rounds times if
@@ -318,7 +340,7 @@ object TextSimOps {
     // shortcut: l ← l(l(v)). Labels are always member ids (l(v) ≤ v,
     // same component), so the label-to-vertex join is total.
     def jump(a: DataFrame): DataFrame = {
-      val p = a.localCheckpoint(false)
+      val p = a.pinned
       p.join(p.select(col("v").as("v2"), col("l").as("l2")),
           col("l") === col("v2"))
         .select(col("v"), col("l2").as("l"))
@@ -463,7 +485,7 @@ object TextSimOps {
     "sim_containment_pairs" -> ((s: SparkSession, d: String) => {
       val tau = 95
       // pinned once for the same three-consumer reason as exactWordPairs
-      val ranked = docRanked(s, d).localCheckpoint(false)
+      val ranked = docRanked(s, d).pinned
       val dt = docTokensFrom(ranked)
       containmentCandidatesFrom(ranked, tau)
         .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
