@@ -258,11 +258,11 @@ object TextSimOps {
     * can assert the candidate set is a superset of the qualifying
     * pairs. */
   private[graft] def containmentCandidates(s: SparkSession, d: String,
-      tauPct: Int): DataFrame =
-    containmentCandidatesFrom(docRanked(s, d), tauPct)
+      tauPct: Int, bitmapPrune: Boolean = true): DataFrame =
+    containmentCandidatesFrom(docRanked(s, d), tauPct, bitmapPrune)
 
   private def containmentCandidatesFrom(ranked: DataFrame,
-      tauPct: Int): DataFrame = {
+      tauPct: Int, bitmapPrune: Boolean = true): DataFrame = {
     val x = ranked
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
       .select(col("doc_id").as("da"), col("w"),
@@ -278,13 +278,15 @@ object TextSimOps {
     // needs o·100 ≥ τ·ca. One-sided, one AND+POPCNT per matched row;
     // r6 measured 20.7 M candidate rows surviving the positional
     // filters alone (corpus tokens are hot: ~32 M raw matches).
-    x.join(y, col("w") === col("wy") &&
-        col("kx") === col("ky") && col("da") =!= col("db") &&
-        lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
-        (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
-          lit(100) >= lit(tauPct) * col("ca") &&
-        expr(s"(ca - bit_count(ba & ~bb)) * 100 >= $tauPct * ca"))
-      .select(col("da"), col("db"))
+    val base = col("w") === col("wy") &&
+      col("kx") === col("ky") && col("da") =!= col("db") &&
+      lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
+      (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
+        lit(100) >= lit(tauPct) * col("ca")
+    val cond = if (bitmapPrune)
+      base && expr(s"(ca - bit_count(ba & ~bb)) * 100 >= $tauPct * ca")
+    else base
+    x.join(y, cond).select(col("da"), col("db"))
   }
 
   /** Min-label CC over the near-dup pair graph (see the
