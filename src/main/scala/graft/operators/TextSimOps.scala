@@ -124,16 +124,27 @@ object TextSimOps {
     tok.join(dfreq, "w")
       .withColumn("rnk", row_number().over(ord))
       .withColumn("c", count(lit(1)).over(full).cast("int"))
-      // 64-bucket token bitmap (bucket = pmod(xxhash64(w), 64)) — the
-      // exact-prune substrate (r9 item 9): intersection tokens share a
-      // bucket bit, so popcount(bm_x & ~bm_y) LOWER-bounds the x-tokens
-      // missing from y, giving the candidate joins an exact per-pair
-      // upper bound on |x∩y| for one AND+POPCNT per matched row. Same
-      // window partition as rnk/c → no extra shuffle, one BIGINT wider.
-      .withColumn("bm", expr(
-        "bit_or(shiftleft(CAST(1 AS BIGINT), " +
-          "CAST(pmod(xxhash64(w), 64) AS INT)))").over(full))
-      .select(col("doc_id"), col("w"), col("rnk"), col("c"), col("bm"))
+      // 128-bucket token bitmap in two BIGINTs (bucket =
+      // pmod(xxhash64(w), 128); bm0 holds buckets 0-63, bm1 64-127) —
+      // the exact-prune substrate (r9 item 9): intersection tokens
+      // share a bucket bit, so popcount(bm_x & ~bm_y) LOWER-bounds the
+      // x-tokens missing from y, giving the candidate joins an exact
+      // per-pair upper bound on |x∩y| for two AND+POPCNTs per matched
+      // row. 128 buckets (not 64) because corpus docs carry 40-80
+      // distinct tokens: at 64 bits the y-side density is ~70% and the
+      // bound goes blunt; at 128 it stays ~45% dense and cuts ~2× more
+      // (CandCount-measured). Same window partition as rnk/c → no
+      // extra shuffle, two BIGINTs wider.
+      .withColumn("bm0", expr(
+        "bit_or(CASE WHEN pmod(xxhash64(w), 128) < 64 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(xxhash64(w), 128) AS INT)) ELSE 0L END)").over(full))
+      .withColumn("bm1", expr(
+        "bit_or(CASE WHEN pmod(xxhash64(w), 128) >= 64 THEN " +
+          "shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(pmod(xxhash64(w), 128) - 64 AS INT)) ELSE 0L END)").over(full))
+      .select(col("doc_id"), col("w"), col("rnk"), col("c"),
+        col("bm0"), col("bm1"))
   }
 
   /** Exact word-level Jaccard pairs at τ = tauPct/100 — identical output
@@ -199,27 +210,41 @@ object TextSimOps {
     val pfx = ranked
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
     val x = pfx.select(col("doc_id").as("da"), col("w"),
-      col("rnk").as("ra"), col("c").as("ca"), col("bm").as("ba"))
+      col("rnk").as("ra"), col("c").as("ca"),
+      col("bm0").as("ba0"), col("bm1").as("ba1"))
     val y = pfx.select(col("doc_id").as("db"), col("w").as("wy"),
-      col("rnk").as("rb"), col("c").as("cb"), col("bm").as("bb"))
-    // Bitmap prune (exact; see docRanked.bm): o ≤ ca − popcount(ba&~bb)
-    // and o ≤ cb − popcount(bb&~ba); J ≥ τ forces o·(100+τ) ≥ τ·(ca+cb),
-    // so either violated bound kills the matched row before emission.
+      col("rnk").as("rb"), col("c").as("cb"),
+      col("bm0").as("bb0"), col("bm1").as("bb1"))
+    // Bitmap prune (exact; see docRanked.bm0/bm1): o ≤ ca −
+    // popcount(ba&~bb) and o ≤ cb − popcount(bb&~ba); J ≥ τ forces
+    // o·(100+τ) ≥ τ·(ca+cb), so either violated bound kills the
+    // matched row before emission.
+    val missXY = expr("bit_count(ba0 & ~bb0) + bit_count(ba1 & ~bb1)")
+    val missYX = expr("bit_count(bb0 & ~ba0) + bit_count(bb1 & ~ba1)")
     val cand = x.join(y, col("w") === col("wy") && col("da") < col("db") &&
         lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
         lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
         (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
           lit(100 + tauPct) >= lit(tauPct) * (col("ca") + col("cb")) &&
-        expr(s"(ca - bit_count(ba & ~bb)) * ${100 + tauPct} >= " +
-          s"$tauPct * (ca + cb)") &&
-        expr(s"(cb - bit_count(bb & ~ba)) * ${100 + tauPct} >= " +
-          s"$tauPct * (ca + cb)"))
+        (col("ca") - missXY) * lit(100 + tauPct) >=
+          lit(tauPct) * (col("ca") + col("cb")) &&
+        (col("cb") - missYX) * lit(100 + tauPct) >=
+          lit(tauPct) * (col("ca") + col("cb")))
       .select(col("da"), col("db"))
     val dt = docTokensFrom(ranked)
-    // threshold in single-occurrence form — (100+τ)·o ≥ τ·(ca+cb) ⟺
+    // Candidate dedup BEFORE the verify attach (re-measured r10 — this
+    // flips r5's call): the regenerated corpus is ~400× denser in
+    // near-dups, so candidate multiplicity is now high enough that one
+    // keyed shuffle of narrow (da, db) rows is cheaper than dragging
+    // duplicate rows through the array attach + merge scan; the
+    // post-verify distinct then becomes a no-op and is dropped
+    // (verified rows of unique candidates are unique). sf0.1 A/B
+    // (ContainProbe shape): dedup-first 14.5 s vs verify-first 17-25 s.
+    //
+    // Threshold in single-occurrence form — (100+τ)·o ≥ τ·(ca+cb) ⟺
     // 100·o ≥ τ·(ca+cb−o) — so the pushed-down join residual evaluates
-    // the merge scan once per matched row, not once per occurrence
-    cand
+    // the merge scan once per matched row, not once per occurrence.
+    cand.distinct()
       .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
         col("c").as("ca")), "da")
       .join(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
@@ -229,7 +254,6 @@ object TextSimOps {
         lit(tauPct) * (col("ca") + col("cb")))
       .select(col("da"), col("db"), col("inter"),
         (col("ca") + col("cb") - col("inter")).as("uni"))
-      .distinct()
   }
 
   /** Per-row MinHash band keys (doc_id, band, bkey) — the dedup_minhash
@@ -267,16 +291,18 @@ object TextSimOps {
       .where(col("rnk") <= col("c") - expr(s"($tauPct * c + 99) div 100") + 1)
       .select(col("doc_id").as("da"), col("w"),
         col("rnk").as("ra"), col("c").as("ca"),
-        (length(bin(col("c"))) - 1).as("kx"), col("bm").as("ba"))
+        (length(bin(col("c"))) - 1).as("kx"),
+        col("bm0").as("ba0"), col("bm1").as("ba1"))
     val y = ranked.select(col("doc_id").as("db"),
       col("w").as("wy"), col("rnk").as("rb"), col("c").as("cb"),
       explode(sequence(lit(0),
         (length(bin(expr(s"(c - rnk + 1) * 100 div $tauPct"))) - 1)
-          .cast("int"))).as("ky"), col("bm").as("bb"))
-    // Bitmap prune (exact; see docRanked.bm): containment only bounds
-    // x's missing tokens — o ≤ ca − popcount(ba & ~bb), and C ≥ τ
-    // needs o·100 ≥ τ·ca. One-sided, one AND+POPCNT per matched row;
-    // r6 measured 20.7 M candidate rows surviving the positional
+          .cast("int"))).as("ky"),
+      col("bm0").as("bb0"), col("bm1").as("bb1"))
+    // Bitmap prune (exact; see docRanked.bm0/bm1): containment only
+    // bounds x's missing tokens — o ≤ ca − popcount(ba & ~bb), and
+    // C ≥ τ needs o·100 ≥ τ·ca. One-sided, two AND+POPCNTs per matched
+    // row; r6 measured 20.7 M candidate rows surviving the positional
     // filters alone (corpus tokens are hot: ~32 M raw matches).
     val base = col("w") === col("wy") &&
       col("kx") === col("ky") && col("da") =!= col("db") &&
@@ -284,7 +310,9 @@ object TextSimOps {
       (lit(1) + least(col("ca") - col("ra"), col("cb") - col("rb"))) *
         lit(100) >= lit(tauPct) * col("ca")
     val cond = if (bitmapPrune)
-      base && expr(s"(ca - bit_count(ba & ~bb)) * 100 >= $tauPct * ca")
+      base && (col("ca") -
+        expr("bit_count(ba0 & ~bb0) + bit_count(ba1 & ~bb1)")) *
+        lit(100) >= lit(tauPct) * col("ca")
     else base
     x.join(y, cond).select(col("da"), col("db"))
   }
@@ -489,14 +517,17 @@ object TextSimOps {
       // pinned once for the same three-consumer reason as exactWordPairs
       val ranked = docRanked(s, d).pinned
       val dt = docTokensFrom(ranked)
-      containmentCandidatesFrom(ranked, tau)
+      // candidate dedup BEFORE the verify attach, post-verify distinct
+      // dropped — same r10 re-measurement as exactWordPairs (the dense
+      // regenerated corpus flipped r5's verify-first call): sf0.1 A/B
+      // 14.5 s dedup-first vs 17-25 s verify-first (ContainProbe).
+      containmentCandidatesFrom(ranked, tau).distinct()
         .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
           col("c").as("ca")), "da")
         .join(dt.select(col("doc_id").as("db"), col("wh").as("wb")), "db")
         .withColumn("inter", interCount(col("wa"), col("wb")))
         .where(lit(100) * col("inter") >= lit(tau) * col("ca"))
         .select(col("da"), col("db"), col("inter"), col("ca"))
-        .distinct()
         .orderBy("da", "db")
     }),
 
