@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan of one SparkEntry key.
-  * Usage: Test/runMain graft.PlanDump <key> [sfDir]. */
-object PlanDump {
+  * Usage: Test/runMain graft.KeyPlan <key> [sfDir]. */
+object KeyPlan {
   def main(args: Array[String]): Unit = {
     val key = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
