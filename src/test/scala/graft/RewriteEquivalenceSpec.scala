@@ -68,6 +68,33 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("bitset fast path equals the general prefix-filter path (r10)") {
+    // the r10 adaptive dispatch: on a ≤62-token dictionary the pair
+    // operators run the exact-bitset plan; spark.graft.sim.forceGeneral
+    // pins the open-vocabulary plan. Same corpus, both plans, byte-equal
+    // pair sets — Jaccard AND containment.
+    def jac() = operators.TextSimOps.exactWordPairs(spark, sf, 90)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    def con() = SparkEntry.queries("sim_containment_pairs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val (fastJ, fastC) = (jac(), con())
+    spark.conf.set("spark.graft.sim.forceGeneral", "true")
+    try {
+      val (genJ, genC) = (jac(), con())
+      assert(fastJ == genJ,
+        s"jaccard: onlyFast=${(fastJ -- genJ).take(5)} " +
+          s"onlyGeneral=${(genJ -- fastJ).take(5)}")
+      assert(fastC == genC,
+        s"containment: onlyFast=${(fastC -- genC).take(5)} " +
+          s"onlyGeneral=${(genC -- fastC).take(5)}")
+      assert(fastJ.nonEmpty && fastC.nonEmpty, "degenerate corpus")
+    } finally spark.conf.unset("spark.graft.sim.forceGeneral")
+  }
+
   test("tiledPairs enumerates every unordered pair exactly once") {
     val ss = spark
     import ss.implicits._
