@@ -215,6 +215,76 @@ object TextSimOps {
         col("ca"))
   }
 
+  /** Mask QUOTIENT of the bitset substrate (r10): one row per DISTINCT
+    * nonzero mask, labeled by its min doc_id (the representative) and
+    * its member count. Identical token sets have Jaccard 1 ≥ any τ ≤
+    * 100%, so the similarity relation factors through the quotient:
+    * doc-level pairs = rep-level pairs × member expansion (plus the
+    * within-mask cliques). On a near-dup-dense corpus this collapses
+    * the candidate join from |docs| to |distinct sets| posting rows —
+    * the classic exact-dedup-before-near-dedup contraction, fused into
+    * the operator: the pair join's matched-row count drops from
+    * Σ n_a·n_b (doc multiplicity squared) to one row per qualifying
+    * MASK pair, and the expansion joins below are output-sized hash
+    * probes. Empty masks are excluded (a pair needs a shared token, so
+    * empty-set docs never pair — quotienting them together would
+    * invent edges). Cost when the corpus has no exact-set dups: one
+    * extra mask-keyed groupBy over a doc-count-sized table. */
+  private def maskUniq(bd: DataFrame): DataFrame =
+    bd.where(col("m") =!= 0)
+      .groupBy(col("m"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .withColumn("c", expr("bit_count(m)"))
+
+  /** Mask-group membership (rep, doc_id, c) — every doc with a nonzero
+    * mask keyed by its group representative (reps include themselves).
+    * The expansion side of [[maskUniq]]; doc-count-sized, ends in a
+    * join so AQE sizes it at runtime (no hard broadcast hint — the
+    * engine-wide rule). */
+  private def maskMembers(bd: DataFrame, uniq: DataFrame): DataFrame =
+    bd.where(col("m") =!= 0)
+      .join(uniq.select(col("m"), col("doc_id").as("rep")), "m")
+      .select(col("rep"), col("doc_id"), col("c"))
+
+  /** Expand rep-level Jaccard pairs back to doc-level (da, db, inter,
+    * uni), da < db: cross-group pairs inherit the rep pair's exact
+    * inter/uni (all members share the rep's token set); within-group
+    * pairs are the mask cliques with inter = uni = c (J = 1). Each
+    * output row is produced exactly once — rep pairs are unique and
+    * members are distinct docs — so no dedup shuffle is needed. */
+  private def expandJaccard(rp: DataFrame, grp: DataFrame): DataFrame = {
+    val cross = rp
+      .join(grp.select(col("rep").as("da"), col("doc_id").as("xa")), "da")
+      .join(grp.select(col("rep").as("db"), col("doc_id").as("xb")), "db")
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"),
+        col("inter"), col("uni"))
+    val intra = grp.select(col("rep"), col("doc_id").as("xa"), col("c"))
+      .join(grp.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .where(col("xa") < col("xb"))
+      .select(col("xa").as("da"), col("xb").as("db"),
+        col("c").as("inter"), col("c").as("uni"))
+    cross.union(intra)
+  }
+
+  /** Expand rep-level DIRECTIONAL containment pairs to doc-level
+    * (da, db, inter, ca), da ≠ db: cross-group pairs expand along both
+    * endpoints (direction preserved); within-group cliques qualify in
+    * both directions (C = 1) with inter = ca = c. */
+  private def expandContainment(rp: DataFrame, grp: DataFrame): DataFrame = {
+    val cross = rp
+      .join(grp.select(col("rep").as("da"), col("doc_id").as("xa")), "da")
+      .join(grp.select(col("rep").as("db"), col("doc_id").as("xb")), "db")
+      .select(col("xa").as("da"), col("xb").as("db"),
+        col("inter"), col("ca"))
+    val intra = grp.select(col("rep"), col("doc_id").as("xa"), col("c"))
+      .join(grp.select(col("rep"), col("doc_id").as("xb")), "rep")
+      .where(col("xa") =!= col("xb"))
+      .select(col("xa").as("da"), col("xb").as("db"),
+        col("c").as("inter"), col("c").as("ca"))
+    cross.union(intra)
+  }
+
   /** Full posting rows (doc_id, token, per-doc rank in the global
     * (df, w) order, doc token count) — the substrate of prefix
     * filtering. One shuffle (by doc_id, the window); the df dictionary
@@ -315,7 +385,16 @@ object TextSimOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .distinct()
       bitsetDocs(tok) match {
-        case Some(docs) => return bitsetJaccardPairs(docs.pinned, tauPct)
+        case Some(docs) =>
+          // Quotient by identical mask (r10, see maskUniq): the
+          // candidate join runs over distinct token SETS only; doc
+          // pairs regenerate by output-sized member expansion. Both
+          // substrate frames feed two consumers (pair join +
+          // expansion), hence the pins.
+          val bd = docs.pinned
+          val uniq = maskUniq(bd).pinned
+          val grp = maskMembers(bd, uniq)
+          return expandJaccard(bitsetJaccardPairs(uniq, tauPct), grp)
         case None => ()
       }
     }
@@ -457,9 +536,43 @@ object TextSimOps {
     * per component and each component's constant is its min member id
     * (l(v) ≤ v always), so an unconverged or wrong clustering can never
     * be silently emitted. */
+  /** Near-dup CONNECTIVITY pairs at τ — same connected components as
+    * [[exactWordPairs]]'s full pair set, WITHOUT materializing it. On
+    * the bitset path the quotient (see [[maskUniq]]) is returned
+    * directly: rep-level qualifying pairs plus one membership link per
+    * non-representative doc (doc → its mask's rep). Doc-level pairs are
+    * exactly the member expansions of rep pairs plus the within-mask
+    * cliques, membership links realize a spanning star of each clique,
+    * and every expansion path routes through the two reps — so the
+    * quotient graph and the full pair graph have identical components
+    * while |edges| drops from Σ n_a·n_b to |rep pairs| + |docs|. CC
+    * round cost then scales with DISTINCT token sets, not corpus
+    * near-dup density. General (open-vocabulary) path: the full pair
+    * set, unchanged. */
+  private def connectivityPairs(s: SparkSession, d: String,
+      tauPct: Int): DataFrame = {
+    if (!forceGeneral(s)) {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      bitsetDocs(tok) match {
+        case Some(docs) =>
+          val bd = docs.pinned
+          val uniq = maskUniq(bd).pinned
+          val memb = maskMembers(bd, uniq)
+            .where(col("doc_id") =!= col("rep"))
+            .select(col("doc_id").as("da"), col("rep").as("db"))
+          return bitsetJaccardPairs(uniq, tauPct)
+            .select(col("da"), col("db")).union(memb)
+        case None => ()
+      }
+    }
+    exactWordPairs(s, d, tauPct).select(col("da"), col("db"))
+  }
+
   private[graft] def clusterCC(s: SparkSession, d: String,
       rounds: Int, checked: Boolean = false): DataFrame = {
-    val pairs = exactWordPairs(s, d, TauPct).select(col("da"), col("db"))
+    val pairs = connectivityPairs(s, d, TauPct)
     val docs = t(s, d, "documents").select(col("doc_id"))
     // both edge directions from ONE pass over the pair subtree (a
     // union of two selects would execute it twice), then the ONE
@@ -688,7 +801,12 @@ object TextSimOps {
           .distinct())
       bitset match {
         case Some(docs) =>
-          bitsetContainmentPairs(docs.pinned, tau).orderBy("da", "db")
+          // mask quotient + member expansion (see exactWordPairs)
+          val bd = docs.pinned
+          val uniq = maskUniq(bd).pinned
+          val grp = maskMembers(bd, uniq)
+          expandContainment(bitsetContainmentPairs(uniq, tau), grp)
+            .orderBy("da", "db")
         case None =>
           // pinned once for the same three-consumer reason as
           // exactWordPairs
