@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -25,7 +25,44 @@ import graft.Tables._
   * output boundary.
   */
 object EtlOps {
+  /** One referential-integrity audit row: child cardinality, distinct
+    * referencing keys, and orphan count (children whose FK hits no
+    * parent). Orphans via left-anti on the key-projected parent — at
+    * scale a keyed shuffle join whose build side is the parent's key
+    * column only; the three 1-row aggregates meet in broadcast-sized
+    * cross joins, never a wide shuffle. */
+  private def fkAudit(rel: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.select(col(ck))
+      .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+    child.agg(count(lit(1)).as("child_rows"),
+        countDistinct(col(ck)).as("ref_keys"))
+      .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+      .select(lit(rel).as("rel"), col("child_rows"), col("ref_keys"),
+        col("orphans"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    // Referential-integrity audit over the corpus FK graph — the data-
+    // quality gate an ingest pipeline runs before joining anything
+    // (orphaned FKs silently drop rows in inner joins downstream). One
+    // audit row per declared relationship; all-zero orphans is the
+    // healthy-corpus baseline the output certifies. Each relationship
+    // is independent (5 parallel small DAGs union'd); per-relationship
+    // cost is two 2-phase counts + one anti-join keyed on the FK.
+    "etl_fk_audit" -> ((s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val p = t(s, d, "part"); val n = t(s, d, "nation")
+      fkAudit("customer->nation", c, "c_nationkey", n, "n_nationkey")
+        .union(fkAudit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .union(fkAudit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .union(fkAudit("lineitem->supplier", li, "l_suppkey", su,
+          "s_suppkey"))
+        .union(fkAudit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy("rel")
+    }),
+
     "etl_reference_shape" -> ((s: SparkSession, d: String) => {
       // 1) nest: the reference's list<struct> transaction column
       val nested = t(s, d, "lineitem")
@@ -291,7 +328,26 @@ object EtlOps {
       .orderBy("doc_id")
   }
 
+  private def oFkRow(rel: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"SELECT '$rel' AS rel, " +
+      s"(SELECT count(*) FROM $child) AS child_rows, " +
+      s"(SELECT count(DISTINCT $ck) FROM $child) AS ref_keys, " +
+      s"(SELECT count(*) FROM $child c LEFT JOIN $parent p " +
+      s"ON c.$ck = p.$pk WHERE p.$pk IS NULL) AS orphans"
+
   val oracle: Map[String, String] = Map(
+    "etl_fk_audit" ->
+      (oFkRow("customer->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey") + " UNION ALL " +
+        oFkRow("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey") + " UNION ALL " +
+        oFkRow("lineitem->part", "lineitem", "l_partkey",
+          "part", "p_partkey") + " UNION ALL " +
+        oFkRow("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey") + " UNION ALL " +
+        oFkRow("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey") + " ORDER BY rel"),
     "etl_reference_shape" ->
       ("WITH b AS (SELECT o_orderkey, year(o_orderdate)*100 + " +
         "month(o_orderdate) AS ym FROM orders), " +

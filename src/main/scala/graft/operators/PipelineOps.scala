@@ -39,6 +39,35 @@ object PipelineOps {
   private val SamplePerLang = 50
 
   val queries: Map[String, QFn] = Map(
+    // Sequence PACKING — the LLM-training step that concatenates
+    // documents into fixed-capacity context windows (C = 512 tokens
+    // here). Assignment is the streaming-packer rule: documents flow in
+    // a deterministic order (per source, by doc_id) and a document
+    // belongs to the pack its START offset falls in — pack_id =
+    // (running-token-offset) div C — so a straddling document charges
+    // its tokens to its start pack exactly as a contiguous token-stream
+    // writer would chunk it. Everything is integer: one keyed window
+    // (cumulative token sum per source) + one (source, pack)-keyed agg;
+    // no global window at any scale, and reingestion under the same
+    // ordering key reproduces identical packs (the sample_split_hash
+    // stability discipline).
+    "pipe_pack_sequences" -> ((s: SparkSession, d: String) => {
+      val cap = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr(s"(cum - n_tok) div $cap"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tok")).cast("long").as("tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "pack_id")
+    }),
+
     "sample_split_hash" -> ((s: SparkSession, d: String) =>
       t(s, d, "documents")
         .withColumn("b",
@@ -408,6 +437,17 @@ object PipelineOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "pipe_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+        "SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id, " +
+        "count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM c GROUP BY 1, 2 ORDER BY source, pack_id"),
     "sample_split_hash" ->
       (s"SELECT lang, CASE WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 80 " +
         s"THEN 'train' WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 90 " +

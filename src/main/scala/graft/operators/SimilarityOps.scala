@@ -153,6 +153,39 @@ object SimilarityOps {
         .where(col("cos") >= 0.3)
         .orderBy("a", "b")),
 
+    // Exact k-NN GRAPH construction (k = 3 cosine neighbors for EVERY
+    // vector) — the batch primitive under embedding-space dedup
+    // clustering, label propagation, and graph-based ANN indexes
+    // (NN-Descent/HNSW all start from or refine exactly this). Composes
+    // the two flagship scale components: [[tiledPairs]] bounds per-task
+    // memory for the O(N²) pair generation (no broadcast nested loop),
+    // and the pair→both-directions explode feeds TopKPerGroupExec so
+    // the per-node ranking shuffle carries ≤ k rows per (node ×
+    // partition), never the N² candidate lists. At 100 TB the same
+    // plan runs per IVF cell (knn_ivf's layout) — brute force within a
+    // cell, this operator's shape unchanged. The trailing row_number
+    // ranks only the ≤ k survivors on the exchange's existing hash
+    // partitioning (the win_topk_physical pattern).
+    "knn_graph" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = tiledPairs(t(s, d, "embeddings"), Seq.empty)
+        .select(col("a"), col("b"),
+          round6(dot(col("va"), col("vb"))).as("cos"))
+      val directed = pairs.select(explode(array(
+          struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
+          struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
+          .as("e"))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+          col("e.cos").as("cos"))
+      val top = GraftOps.topKPerGroup(directed, Seq("node"),
+        Seq(("cos", false), ("nbr", true)), 3)
+      val w = Window.partitionBy("node")
+        .orderBy(col("cos").desc, col("nbr"))
+      top.withColumn("rn", row_number().over(w))
+        .select(col("node"), col("nbr"), col("cos"), col("rn"))
+        .orderBy("node", "rn")
+    }),
+
     // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
     // ExtOpsSpec. r4: centroids are TRAINED (one Lloyd step over the
     // seeded assignment — the r3 "trained centroids" stub made real),
@@ -242,6 +275,14 @@ object SimilarityOps {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
+    "knn_graph" ->
+      ("WITH p AS (SELECT a.vec_id AS node, b.vec_id AS nbr, " +
+        oRound6(oDot("a.embedding", "b.embedding")) + " AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "r AS (SELECT node, nbr, cos, row_number() OVER " +
+        "(PARTITION BY node ORDER BY cos DESC, nbr) AS rn FROM p) " +
+        "SELECT node, nbr, cos, rn FROM r WHERE rn <= 3 " +
+        "ORDER BY node, rn"),
     "dedup_embed" ->
       ("SELECT a.vec_id AS a, b.vec_id AS b, " +
         oRound6(oDot("a.embedding", "b.embedding")) + " AS cos " +

@@ -42,6 +42,33 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }),
 
+    // Token-distribution Shannon entropy per document — the diversity/
+    // repetitiveness quality signal (low entropy = template/spam text;
+    // complements text_repetition's n-gram view with a whole-distribution
+    // one). Determinism discipline (the text_lm_score pattern): entropy
+    // H = log2(n) − (Σ c·log2 c)/n needs log2 over an unordered group
+    // sum, so each per-token term is FIXED-POINT INTEGER
+    // (L6(c) = floor(10⁶·log2 c) — a pure function of the count c, so
+    // any ulp drift in log2 is the same on every row with that c and
+    // cannot reorder partial sums), integer-summed, with one double
+    // division + round6 at the output boundary. Shape: tokenize explode
+    // → (doc, token) 2-phase count → doc-keyed agg; the shuffle carries
+    // counts, never text — the same plan at any corpus size.
+    "text_entropy" -> ((s: SparkSession, d: String) => {
+      val cnts = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      cnts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * floor(lit(1000000.0) * log2(col("c"))).cast("long"))
+            .as("s6"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round6(log2(col("n_tokens")) - col("s6").cast("double") /
+            (col("n_tokens") * lit(1000000L)).cast("double")).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting two ways (north star): whitespace split and a
     // BPE-ish regex segmentation (letter runs / digit runs / punct runs —
     // the GPT-2 pre-tokenizer shape, ASCII-simplified so both engines'
@@ -308,6 +335,18 @@ object TextAnalysisOps {
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_distinct, " +
+        "CAST(sum(c * CAST(floor(1000000 * log2(c)) AS BIGINT)) AS BIGINT) " +
+        "AS s6 FROM c GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, n_distinct, " +
+        oRound6("log2(n_tokens) - CAST(s6 AS DOUBLE) / " +
+          "(n_tokens * 1000000)") + " AS entropy " +
+        "FROM p ORDER BY doc_id"),
     "text_pii_mask" ->
       ("WITH i AS (SELECT doc_id, CASE " +
         "WHEN doc_id % 3 = 0 THEN text || ' contact user' || " +

@@ -101,6 +101,24 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Exponentially-weighted moving value per user (α = 1/2, 4-term
+    // lookback) — the streaming-metric smoother, expressed as a FIXED
+    // Horner chain over lag() columns rather than a recursive state:
+    // x + ½(x₋₁ + ½(x₋₂ + ½·x₋₃)). Determinism: every ×0.5 is an exact
+    // IEEE exponent decrement and the additions evaluate in one fixed
+    // tree shape on both engines, so the double result is bit-identical
+    // before round6 even touches it. One keyed window shuffle
+    // (user_id), no global window at any scale.
+    "win_ewma" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      def lg(k: Int) = coalesce(lag(col("value"), k).over(w), lit(0.0))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round6(col("value") + lit(0.5) * (lg(1) + lit(0.5) *
+            (lg(2) + lit(0.5) * lg(3)))).as("ewma"))
+        .orderBy("event_id")
+    }),
+
     "win_lead_lag" -> ((s: SparkSession, d: String) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
@@ -170,6 +188,15 @@ object WindowOps {
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
         "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "win_ewma" ->
+      ("SELECT event_id, user_id, ts_us, " +
+        oRound6("value + 0.5 * (coalesce(lag(value, 1) OVER w, 0.0) " +
+          "+ 0.5 * (coalesce(lag(value, 2) OVER w, 0.0) " +
+          "+ 0.5 * coalesce(lag(value, 3) OVER w, 0.0)))") + " AS ewma " +
+        "FROM (SELECT event_id, user_id, event_type, value, " +
+        "epoch_us(ts) AS ts_us FROM events) " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id) " +
+        "ORDER BY event_id"),
     "win_lead_lag" ->
       ("SELECT event_id, user_id, " +
         "coalesce(ts_us - lag(ts_us) OVER w, -1) AS delta_us, " +

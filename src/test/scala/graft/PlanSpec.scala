@@ -210,10 +210,13 @@ class PlanSpec extends SparkTestBase {
     //    corpus-count aggregate (idf denominator)
     //  - pipe_mix_temperature: 1×S broadcast of the 1-row integer
     //    normalizer (Σ s_i) onto the source-count table (S = #sources)
+    //  - etl_fk_audit: 1×1 broadcast joins of the per-relationship
+    //    1-row count aggregates (child stats × orphan count) — every
+    //    BNLJ side is a single scalar row by construction
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
       "text_lm_score", "text_tfidf_top", "pipe_dataset_card",
-      "search_rrf_hybrid", "pipe_mix_temperature")
+      "search_rrf_hybrid", "pipe_mix_temperature", "etl_fk_audit")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
