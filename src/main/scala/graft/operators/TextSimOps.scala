@@ -146,12 +146,21 @@ object TextSimOps {
     * #4): AQE broadcasts it at runtime, and the forced-shuffle fallback
     * stays exercised by PlanSpec. */
   private def bitsetDocs(tok: DataFrame): Option[DataFrame] = {
-    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // The tokenize+distinct subtree feeds THREE executions otherwise —
+    // the gate count below, the dict aggregate, and the mask build —
+    // and Spark shares no work across separate actions. Pinning it once
+    // is a wash at sf0.1 (A/B via Bench reps=3: 15.96 s vs 16.24 s over
+    // the 5 pair-family keys — job latency dominates at local scale)
+    // but saves TWO full corpus tokenize+shuffle passes per operator at
+    // real scale, where the corpus scan is the cost. The pin is the
+    // (doc, token)-distinct table, the smallest frame in the pipeline.
+    val tp = tok.pinned
+    val dfreq = tp.groupBy(col("w")).agg(count(lit(1)).as("df"))
     if (dfreq.limit(63).count() > 62) None
     else {
       val dict = dfreq.select(col("w"),
         (row_number().over(Window.orderBy("df", "w")) - 1).as("grank"))
-      Some(tok.join(dict, "w")
+      Some(tp.join(dict, "w")
         .groupBy(col("doc_id"))
         .agg(expr("bit_or(shiftleft(1L, grank))").as("m"))
         .withColumn("c", expr("bit_count(m)")))
