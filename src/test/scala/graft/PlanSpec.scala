@@ -74,6 +74,22 @@ class PlanSpec extends SparkTestBase {
         s"exchange@$exchangeIdx partial@$partialIdx):\n$p")
   }
 
+  test("knn_graph: k-bounded shuffle (partial top-k before the exchange)," +
+    " no broadcast nested loop") {
+    val p = plan("knn_graph")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"custom top-k strategy did not fire:\n$p")
+    val partialIdx = p.indexOf("TopKPerGroupPartial")
+    val finalIdx = p.indexOf("TopKPerGroupFinal")
+    assert(finalIdx < partialIdx,
+      s"final not above partial (final@$finalIdx partial@$partialIdx):\n$p")
+    // tiledPairs must plan the pair generation as an EQUI-join on the
+    // block-pair key — the bounded-memory contract
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"knn_graph pair generation degenerated to an all-pairs join:\n$p")
+  }
+
   test("win_topk_physical equals the window-function formulation") {
     val viaWindow = SparkEntry.queries("win_topk_group")(spark, sf)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn").collect()
