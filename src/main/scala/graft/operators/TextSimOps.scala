@@ -740,6 +740,61 @@ object TextSimOps {
     "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
       exactWordPairs(s, d, TauPct).orderBy("da", "db")),
 
+    // INCREMENTAL (delta) near-dedup — the shape a production ingest
+    // actually runs: a new batch (delta = doc_id % 10 == 0, the
+    // deterministic stand-in for "this ingest's arrivals") is paired
+    // against the full corpus, but base×base pairs are NEVER generated
+    // — full re-dedup is Θ(N²)-candidate work on every ingest; delta
+    // restriction is Θ(N·Δ). On the bitset substrate the restriction
+    // is structural, not a post-filter: the x posting side is built
+    // from DELTA docs only (prefix bits), the y side carries ALL docs
+    // (full bits — the asymmetric-prefix trick from the containment
+    // join; completeness holds because the globally-first shared token
+    // of a qualifying pair always lies in x's prefix, the same lemma
+    // both bitset joins rest on), and each pair is emitted exactly
+    // once: delta×base at its delta endpoint, delta×delta at the
+    // smaller id. Exact threshold + first-shared-token uniqueness
+    // evaluate inline as in bitsetJaccardPairs. The general-path
+    // fallback keeps the semantics (endpoint filter over the full
+    // exact pair join) — correct everywhere, incremental only on the
+    // bitset path.
+    "pipe_delta_dedup" -> ((s: SparkSession, d: String) => {
+      val tau = TauPct
+      val fast =
+        if (forceGeneral(s)) None
+        else {
+          val tok = t(s, d, "documents")
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .distinct()
+          bitsetDocs(tok).map { docs =>
+            val bd = docs.pinned
+            val x = bitBits(bd.where(pmod(col("doc_id"), lit(10)) === 0),
+                s"c - ($tau * c + 99) div 100 + 1")
+              .select(col("doc_id").as("xa"), col("m").as("ma"),
+                col("c").as("ca"), col("g"))
+            val y = bitBits(bd, "c")
+              .select(col("doc_id").as("xb"), col("m").as("mb"),
+                col("c").as("cb"), col("g").as("gy"))
+            x.join(y, col("g") === col("gy") && col("xa") =!= col("xb") &&
+                (pmod(col("xb"), lit(10)) =!= 0 || col("xa") < col("xb")) &&
+                lit(100) * col("ca") >= lit(tau) * col("cb") &&
+                lit(100) * col("cb") >= lit(tau) * col("ca") &&
+                expr("shiftleft(1L, g) = ((ma & mb) & -(ma & mb))") &&
+                expr(s"(100 + $tau) * bit_count(ma & mb) >= " +
+                  s"$tau * (ca + cb)"))
+              .select(least(col("xa"), col("xb")).as("da"),
+                greatest(col("xa"), col("xb")).as("db"),
+                expr("bit_count(ma & mb)").as("inter"),
+                expr("ca + cb - bit_count(ma & mb)").as("uni"))
+          }
+        }
+      fast.getOrElse(
+        exactWordPairs(s, d, tau)
+          .where(pmod(col("da"), lit(10)) === 0 ||
+            pmod(col("db"), lit(10)) === 0))
+        .orderBy("da", "db")
+    }),
+
     // Fuzzy string matching via DELETION NEIGHBORHOODS (the SymSpell
     // candidate scheme) — the missing member of the dedup shelf: typo
     // correction against a dictionary WITHOUT a dictionary × corpus
@@ -1097,6 +1152,20 @@ object TextSimOps {
         "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
         "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
         s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) ORDER BY da, db"),
+    // the oracle defines SEMANTICS only (full pair set, endpoint
+    // filter); the Spark plan's delta-restricted candidate generation
+    // must reproduce it exactly
+    "pipe_delta_dedup" ->
+      ("WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id), " +
+        "ip AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT da, db, CAST(inter AS INTEGER) AS inter, " +
+        "CAST(ca.c + cb.c - inter AS INTEGER) AS uni " +
+        "FROM ip JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id " +
+        s"WHERE 100 * inter >= $TauPct * (ca.c + cb.c - inter) " +
+        "AND (da % 10 = 0 OR db % 10 = 0) ORDER BY da, db"),
     // brute-force lev over dict × typos — candidate completeness of the
     // deletion-neighborhood join is hash-checked against it
     "sim_edit_neighbors" ->

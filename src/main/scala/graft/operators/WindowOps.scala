@@ -101,6 +101,37 @@ object WindowOps {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Rolling z-score anomaly flag per user (8-row trailing frame) —
+    // the metrics-pipeline outlier detector. Determinism discipline:
+    // mean and second moment accumulate as EXACT DECIMAL window sums
+    // (any accumulation order, same value — double window sums are
+    // frame-implementation-dependent: DuckDB's segment tree folds in a
+    // different order than Spark's running accumulator), cast to
+    // double once, then one fixed IEEE expression tree (sub, mul, div,
+    // correctly-rounded sqrt) both engines evaluate identically;
+    // variance clamps at 0 (float cancellation on constant frames) and
+    // ε=1e-9 inside the sqrt keeps the zero-variance frame finite. The
+    // anomaly flag compares the ROUNDED z so the boolean is derived
+    // from an engine-identical value. One keyed window shuffle.
+    "win_zscore" -> ((s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+      val wv = events(s, d)
+        .withColumn("v2", dec2(col("value")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          count(lit(1)).over(w).as("n_win"),
+          sum(col("v2")).over(w).cast("double").as("sd"),
+          sum(col("v2") * col("v2")).over(w).cast("double").as("s2"))
+      val mean = col("sd") / col("n_win")
+      val variance = greatest(col("s2") / col("n_win") - mean * mean,
+        lit(0.0))
+      wv.withColumn("z",
+          round6((col("value") - mean) / sqrt(variance + lit(1e-9))))
+        .select(col("event_id"), col("user_id"), col("n_win"), col("z"),
+          (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+        .orderBy("event_id")
+    }),
+
     // Exponentially-weighted moving value per user (α = 1/2, 4-term
     // lookback) — the streaming-metric smoother, expressed as a FIXED
     // Horner chain over lag() columns rather than a recursive state:
@@ -188,6 +219,22 @@ object WindowOps {
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice " +
         "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "win_zscore" -> {
+      val mean = "(sd / n_win)"
+      val zExpr = oRound6(s"(value - $mean) / " +
+        s"sqrt(greatest(s2 / n_win - $mean * $mean, 0.0) + 1e-9)")
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, " +
+        "CAST(value AS DECIMAL(18,2)) AS v2 FROM events), " +
+        "wv AS (SELECT event_id, user_id, value, " +
+        "count(*) OVER w AS n_win, " +
+        "CAST(sum(v2) OVER w AS DOUBLE) AS sd, " +
+        "CAST(sum(v2 * v2) OVER w AS DOUBLE) AS s2 " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) " +
+        s"SELECT event_id, user_id, n_win, $zExpr AS z, " +
+        s"abs($zExpr) > 3.0 AS is_anomaly " +
+        "FROM wv ORDER BY event_id"
+    },
     "win_ewma" ->
       ("SELECT event_id, user_id, ts_us, " +
         oRound6("value + 0.5 * (coalesce(lag(value, 1) OVER w, 0.0) " +

@@ -6,8 +6,9 @@ class OperatorSmokeSpec extends SparkTestBase {
   // Keys that may legitimately return 0 rows at sf0.001 (anti-joins,
   // late-data replays, near-dup pairs under a high τ on a tiny corpus).
   private val mayBeEmpty = Set("join_anti", "stream_late_data",
-    "sim_jaccard_pairs", "dedup_minhash", "scan_pruned", "join_range",
-    "set_except", "knn_ann_srp", "dedup_embed")
+    "sim_jaccard_pairs", "pipe_delta_dedup", "dedup_minhash",
+    "scan_pruned", "join_range", "set_except", "knn_ann_srp",
+    "dedup_embed")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

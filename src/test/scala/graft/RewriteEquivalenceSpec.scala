@@ -95,6 +95,25 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sim.forceGeneral")
   }
 
+  test("pipe_delta_dedup: delta-restricted bitset join equals the " +
+    "endpoint-filtered general path") {
+    // the delta path never GENERATES base×base candidates; the general
+    // fallback filters the full pair set — same pair set required
+    def delta() = SparkEntry.queries("pipe_delta_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val fast = delta()
+    spark.conf.set("spark.graft.sim.forceGeneral", "true")
+    try {
+      val gen = delta()
+      assert(fast == gen,
+        s"onlyFast=${(fast -- gen).take(5)} onlyGeneral=${(gen -- fast).take(5)}")
+      // every pair touches the delta batch and base×base never appears
+      assert(fast.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+    } finally spark.conf.unset("spark.graft.sim.forceGeneral")
+  }
+
   test("tiledPairs enumerates every unordered pair exactly once") {
     val ss = spark
     import ss.implicits._
