@@ -73,6 +73,20 @@ class SchemaPreflightSpec extends SparkTestBase {
         ArrayType(DoubleType, containsNull = false))))
   }
 
+  test("preflight: embedding dimensionality matches the seeded geometry") {
+    // SRP hyperplanes and IVF centroids are seeded 64-dim vectors
+    // (SimilarityOps); a driver-side regeneration at another dim must
+    // fail HERE as one named assertion, not as a silent wrong-length
+    // dot product inside knn_ann_srp/knn_ivf.
+    import org.apache.spark.sql.functions._
+    val dims = Tables.t(spark, sf, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(dims == Set(64),
+      s"embedding dims drifted to $dims — regenerate the seeded " +
+        "hyperplane/centroid geometry in SimilarityOps to match")
+  }
+
   test("preflight: Tables.events normalizes ts_us to epoch-µs BIGINT") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts_us").dataType == LongType,
