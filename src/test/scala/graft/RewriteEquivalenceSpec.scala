@@ -65,6 +65,17 @@ class RewriteEquivalenceSpec extends SparkTestBase {
         s"containment trial $trial: missing=${(wantC -- gotC).take(5)} " +
           s"extra=${(gotC -- wantC).take(5)}")
       assert(wantC.nonEmpty, s"containment trial $trial degenerate")
+      // same corpus, delta-restricted near-dedup: the brute-force pair
+      // set filtered to pairs touching a delta (id % 10 == 0) endpoint
+      // — on vocab 15 the bitset path runs, on 80/400 the general
+      // fallback, so BOTH delta plans fuzz against brute force here
+      val gotD = SparkEntry.queries("pipe_delta_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3))).toSet
+      val wantD = want.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+      assert(gotD == wantD,
+        s"delta trial $trial: missing=${(wantD -- gotD).take(5)} " +
+          s"extra=${(gotD -- wantD).take(5)}")
     }
   }
 
