@@ -186,6 +186,43 @@ object SimilarityOps {
         .orderBy("node", "rn")
     }),
 
+    // ⊘ approximate k-NN graph at scale — the composition the exact
+    // knn_graph's scaladoc promises, made real: vectors group by their
+    // TRAINED IVF cell (ivfAssignment — one Lloyd step, no collect)
+    // and the same tiledPairs → explode → TopKPerGroupExec plan runs
+    // WITHIN each cell (tiledPairs' grp key), so pair work drops from
+    // Θ(N²) to Θ(Σ_cell n_c²) ≈ N²/nlist while each block-pair task
+    // keeps the bounded-memory contract. Neighbors crossing a cell
+    // boundary are missed — the IVF recall trade, measured in
+    // ExtOpsSpec against the exact graph (no oracle: approximate).
+    // At 100 TB the cell is also the storage partition key (knn_ivf's
+    // layout), so each task reads only its cells' files. Honest local
+    // measurement: at sf0.1 (2 000 vectors) this is SLOWER than the
+    // exact graph (1.99 s vs 1.69 s) — the fixed training agg
+    // outweighs the N²→N²/16 pair cut at tiny N; the crossover is
+    // where N²·d work dominates the (cell × dim) training agg.
+    "knn_graph_ivf" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+      val withCell = emb.join(ivfAssignment(emb), "vec_id")
+      val pairs = tiledPairs(withCell, Seq("cell"))
+        .select(col("a"), col("b"),
+          round6(dot(col("va"), col("vb"))).as("cos"))
+      val directed = pairs.select(explode(array(
+          struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
+          struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
+          .as("e"))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+          col("e.cos").as("cos"))
+      val top = GraftOps.topKPerGroup(directed, Seq("node"),
+        Seq(("cos", false), ("nbr", true)), 3)
+      val w = Window.partitionBy("node")
+        .orderBy(col("cos").desc, col("nbr"))
+      top.withColumn("rn", row_number().over(w))
+        .select(col("node"), col("nbr"), col("cos"), col("rn"))
+        .orderBy("node", "rn")
+    }),
+
     // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
     // ExtOpsSpec. r4: centroids are TRAINED (one Lloyd step over the
     // seeded assignment — the r3 "trained centroids" stub made real),

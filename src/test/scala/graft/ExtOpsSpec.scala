@@ -109,6 +109,35 @@ class ExtOpsSpec extends SparkTestBase {
     }
   }
 
+  test("knn_graph_ivf: valid subgraph of within-cell pairs with " +
+    "recall vs the exact graph") {
+    val exact = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("knn_graph_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // structure: ≤3 neighbors per node, rn contiguous, cos in [-1, 1]
+    ivf.groupBy(_.getLong(0)).foreach { case (node, rows) =>
+      assert(rows.length <= 3, s"node $node has ${rows.length} neighbors")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    ivf.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // every IVF edge's cos must equal the exact graph's cos when the
+    // same edge exists there (same metric, same rounding)
+    val exactCos = SparkEntry.queries("knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-9))
+    }
+    // recall floor: near-uniform unit vectors spread across 16 cells
+    // lose many cross-cell neighbors — the documented trade; require a
+    // non-degenerate overlap
+    val hits = ivf.count(r => exact((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    info(f"knn_graph_ivf edge recall vs exact: $recall%.3f")
+    assert(recall >= 0.05, s"recall $recall degenerate")
+  }
+
   test("text_simhash: near-identical docs have small hamming distance") {
     // SimHash property probe: a doc vs itself is distance 0 (determinism
     // is covered in DeterminismSpec); distinct docs yield a nonzero spread.

@@ -62,7 +62,7 @@ class OperatorSmokeSpec extends SparkTestBase {
     // downgrade it to a rows-only check.
     val declaredNoOracle = Set("agg_approx_distinct", "agg_approx_percentile",
       "agg_hll_sketch", "agg_cms_sketch", "dedup_minhash", "text_fingerprint",
-      "knn_ann_srp", "knn_ivf", "stream_neardup")
+      "knn_ann_srp", "knn_ivf", "knn_graph_ivf", "stream_neardup")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == declaredNoOracle,
       s"undeclared unoracled keys: ${unoracled -- declaredNoOracle}; " +
