@@ -230,9 +230,10 @@ class PlanSpec extends SparkTestBase {
     //    1-row count aggregates (child stats × orphan count) — every
     //    BNLJ side is a single scalar row by construction
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
-      "knn_cosine", "knn_ann_srp", "knn_ivf", "agg_heavy_hitters",
-      "text_lm_score", "text_tfidf_top", "pipe_dataset_card",
-      "search_rrf_hybrid", "pipe_mix_temperature", "etl_fk_audit")
+      "knn_cosine", "knn_ann_srp", "knn_ivf", "knn_graph_ivf",
+      "agg_heavy_hitters", "text_lm_score", "text_tfidf_top",
+      "pipe_dataset_card", "search_rrf_hybrid", "pipe_mix_temperature",
+      "etl_fk_audit")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
