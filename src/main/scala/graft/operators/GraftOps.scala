@@ -87,6 +87,31 @@ object GraftOps {
       sfDir: String, tauPct: Int): DataFrame =
     TextSimOps.exactWordPairs(spark, sfDir, tauPct)
 
+  /** Exact k-NN cosine graph over an `(vec_id, embedding, …)` frame:
+    * each vector's k highest-cosine neighbors, ranked 1..k. Non-empty
+    * `grp` columns restrict pairing to equal values (e.g. an IVF cell
+    * — the approximate at-scale composition; pair work Θ(Σ_g n_g²)).
+    * Tiled bounded-memory pair generation + k-bounded shuffle; equals
+    * the brute-force window formulation (NewOpsSpec). */
+  def knnGraph(emb: DataFrame, k: Int,
+      grp: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 1, "k must be ≥ 1")
+    SimilarityOps.knnGraph(emb, k, grp)
+  }
+
+  /** Incremental near-dedup: exact word-Jaccard pairs at
+    * τ = tauPct/100 over a `documents(doc_id, text)` parquet directory,
+    * restricted to pairs with ≥ 1 endpoint satisfying `isDelta`
+    * (doc_id column ⇒ boolean). On a closed-vocabulary corpus the
+    * base×base candidates are never generated (Θ(N·Δ) per ingest);
+    * open vocabulary falls back to an endpoint filter with identical
+    * semantics. Fuzzed vs brute force in RewriteEquivalenceSpec. */
+  def deltaJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tauPct: Int,
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame =
+    TextSimOps.deltaJaccardPairs(spark, sfDir, tauPct, isDelta)
+
   /** Min-label connected components of the τ=90% near-dup pair graph
     * over a `documents(doc_id, text)` parquet directory.
     *

@@ -166,25 +166,8 @@ object SimilarityOps {
     // cell, this operator's shape unchanged. The trailing row_number
     // ranks only the ≤ k survivors on the exchange's existing hash
     // partitioning (the win_topk_physical pattern).
-    "knn_graph" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val pairs = tiledPairs(t(s, d, "embeddings"), Seq.empty)
-        .select(col("a"), col("b"),
-          round6(dot(col("va"), col("vb"))).as("cos"))
-      val directed = pairs.select(explode(array(
-          struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
-          struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
-          .as("e"))
-        .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
-          col("e.cos").as("cos"))
-      val top = GraftOps.topKPerGroup(directed, Seq("node"),
-        Seq(("cos", false), ("nbr", true)), 3)
-      val w = Window.partitionBy("node")
-        .orderBy(col("cos").desc, col("nbr"))
-      top.withColumn("rn", row_number().over(w))
-        .select(col("node"), col("nbr"), col("cos"), col("rn"))
-        .orderBy("node", "rn")
-    }),
+    "knn_graph" -> ((s: SparkSession, d: String) =>
+      knnGraph(t(s, d, "embeddings"), 3).orderBy("node", "rn")),
 
     // ⊘ approximate k-NN graph at scale — the composition the exact
     // knn_graph's scaladoc promises, made real: vectors group by their
@@ -202,24 +185,8 @@ object SimilarityOps {
     // outweighs the N²→N²/16 pair cut at tiny N; the crossover is
     // where N²·d work dominates the (cell × dim) training agg.
     "knn_graph_ivf" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, d, "embeddings")
-      val withCell = emb.join(ivfAssignment(emb), "vec_id")
-      val pairs = tiledPairs(withCell, Seq("cell"))
-        .select(col("a"), col("b"),
-          round6(dot(col("va"), col("vb"))).as("cos"))
-      val directed = pairs.select(explode(array(
-          struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
-          struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
-          .as("e"))
-        .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
-          col("e.cos").as("cos"))
-      val top = GraftOps.topKPerGroup(directed, Seq("node"),
-        Seq(("cos", false), ("nbr", true)), 3)
-      val w = Window.partitionBy("node")
-        .orderBy(col("cos").desc, col("nbr"))
-      top.withColumn("rn", row_number().over(w))
-        .select(col("node"), col("nbr"), col("cos"), col("rn"))
+      knnGraph(emb.join(ivfAssignment(emb), "vec_id"), 3, Seq("cell"))
         .orderBy("node", "rn")
     }),
 
@@ -306,6 +273,34 @@ object SimilarityOps {
           expr("array_max(qs)").as("q_max"))
         .orderBy("vec_id")
     }))
+
+  /** Exact k-NN cosine graph over an `(vec_id, embedding, …)` frame —
+    * each node's k highest-cosine neighbors, ranked. `grp` non-empty
+    * restricts pairing to equal values of those columns (e.g. the
+    * trained IVF cell — the knn_graph_ivf composition; pair work drops
+    * to Θ(Σ_g n_g²)). Shape: [[tiledPairs]] (each unordered pair's dot
+    * computed once, bounded task memory) → both-direction explode →
+    * TopKPerGroupExec (≤k rows per node × partition shuffled) →
+    * row_number on the exchange's partitioning. */
+  private[graft] def knnGraph(emb: DataFrame, k: Int,
+      grp: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = tiledPairs(emb, grp)
+      .select(col("a"), col("b"),
+        round6(dot(col("va"), col("vb"))).as("cos"))
+    val directed = pairs.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
+        struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
+        .as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"),
+        col("e.cos").as("cos"))
+    val top = GraftOps.topKPerGroup(directed, Seq("node"),
+      Seq(("cos", false), ("nbr", true)), k)
+    val w = Window.partitionBy("node")
+      .orderBy(col("cos").desc, col("nbr"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("node"), col("nbr"), col("cos"), col("rn"))
+  }
 
   private def oDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +

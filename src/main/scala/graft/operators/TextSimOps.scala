@@ -468,6 +468,50 @@ object TextSimOps {
         (col("ca") + col("cb") - col("inter")).as("uni"))
   }
 
+  /** Incremental (delta) Jaccard near-dedup: the exact τ-pair set
+    * restricted to pairs with ≥ 1 endpoint satisfying `isDelta`
+    * (doc_id ⇒ boolean Column) — base×base candidates are never
+    * GENERATED on the bitset path (delta-only x prefix postings ⋈
+    * all-corpus full postings, the asymmetric-prefix completeness
+    * lemma; each pair emitted once), Θ(N·Δ) per ingest. The general
+    * (open-vocabulary) fallback keeps identical semantics via an
+    * endpoint filter over [[exactWordPairs]]; both plans are proven
+    * byte-equal and fuzzed vs brute force in RewriteEquivalenceSpec. */
+  private[graft] def deltaJaccardPairs(s: SparkSession, d: String,
+      tauPct: Int, isDelta: Column => Column): DataFrame = {
+    val fast =
+      if (forceGeneral(s)) None
+      else {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        bitsetDocs(tok).map { docs =>
+          val bd = docs.pinned
+          val x = bitBits(bd.where(isDelta(col("doc_id"))),
+              s"c - ($tauPct * c + 99) div 100 + 1")
+            .select(col("doc_id").as("xa"), col("m").as("ma"),
+              col("c").as("ca"), col("g"))
+          val y = bitBits(bd, "c")
+            .select(col("doc_id").as("xb"), col("m").as("mb"),
+              col("c").as("cb"), col("g").as("gy"))
+          x.join(y, col("g") === col("gy") && col("xa") =!= col("xb") &&
+              (!isDelta(col("xb")) || col("xa") < col("xb")) &&
+              lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
+              lit(100) * col("cb") >= lit(tauPct) * col("ca") &&
+              expr("shiftleft(1L, g) = ((ma & mb) & -(ma & mb))") &&
+              expr(s"(100 + $tauPct) * bit_count(ma & mb) >= " +
+                s"$tauPct * (ca + cb)"))
+            .select(least(col("xa"), col("xb")).as("da"),
+              greatest(col("xa"), col("xb")).as("db"),
+              expr("bit_count(ma & mb)").as("inter"),
+              expr("ca + cb - bit_count(ma & mb)").as("uni"))
+        }
+      }
+    fast.getOrElse(
+      exactWordPairs(s, d, tauPct)
+        .where(isDelta(col("da")) || isDelta(col("db"))))
+  }
+
   /** Per-row MinHash band keys (doc_id, band, bkey) — the dedup_minhash
     * banding (4 bands × 2 seeded-xxhash64 rows) computed WITHOUT any
     * aggregation: a document is one row, so each signature component is
@@ -758,42 +802,9 @@ object TextSimOps {
     // fallback keeps the semantics (endpoint filter over the full
     // exact pair join) — correct everywhere, incremental only on the
     // bitset path.
-    "pipe_delta_dedup" -> ((s: SparkSession, d: String) => {
-      val tau = TauPct
-      val fast =
-        if (forceGeneral(s)) None
-        else {
-          val tok = t(s, d, "documents")
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-            .distinct()
-          bitsetDocs(tok).map { docs =>
-            val bd = docs.pinned
-            val x = bitBits(bd.where(pmod(col("doc_id"), lit(10)) === 0),
-                s"c - ($tau * c + 99) div 100 + 1")
-              .select(col("doc_id").as("xa"), col("m").as("ma"),
-                col("c").as("ca"), col("g"))
-            val y = bitBits(bd, "c")
-              .select(col("doc_id").as("xb"), col("m").as("mb"),
-                col("c").as("cb"), col("g").as("gy"))
-            x.join(y, col("g") === col("gy") && col("xa") =!= col("xb") &&
-                (pmod(col("xb"), lit(10)) =!= 0 || col("xa") < col("xb")) &&
-                lit(100) * col("ca") >= lit(tau) * col("cb") &&
-                lit(100) * col("cb") >= lit(tau) * col("ca") &&
-                expr("shiftleft(1L, g) = ((ma & mb) & -(ma & mb))") &&
-                expr(s"(100 + $tau) * bit_count(ma & mb) >= " +
-                  s"$tau * (ca + cb)"))
-              .select(least(col("xa"), col("xb")).as("da"),
-                greatest(col("xa"), col("xb")).as("db"),
-                expr("bit_count(ma & mb)").as("inter"),
-                expr("ca + cb - bit_count(ma & mb)").as("uni"))
-          }
-        }
-      fast.getOrElse(
-        exactWordPairs(s, d, tau)
-          .where(pmod(col("da"), lit(10)) === 0 ||
-            pmod(col("db"), lit(10)) === 0))
-        .orderBy("da", "db")
-    }),
+    "pipe_delta_dedup" -> ((s: SparkSession, d: String) =>
+      deltaJaccardPairs(s, d, TauPct,
+        c => pmod(c, lit(10)) === 0).orderBy("da", "db")),
 
     // Fuzzy string matching via DELETION NEIGHBORHOODS (the SymSpell
     // candidate scheme) — the missing member of the dedup shelf: typo
