@@ -76,6 +76,15 @@ class RewriteEquivalenceSpec extends SparkTestBase {
       assert(gotD == wantD,
         s"delta trial $trial: missing=${(wantD -- gotD).take(5)} " +
           s"extra=${(gotD -- wantD).take(5)}")
+      // facade generality: an arbitrary (non-modular) delta predicate
+      val gotR = operators.GraftOps
+        .deltaJaccardPairs(spark, dir, 90, c => c < 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2), r.getInt(3))).toSet
+      val wantR = want.filter(p => p._1 < 50 || p._2 < 50)
+      assert(gotR == wantR,
+        s"range-delta trial $trial: missing=${(wantR -- gotR).take(5)} " +
+          s"extra=${(gotR -- wantR).take(5)}")
     }
   }
 
