@@ -60,7 +60,17 @@ object Bench {
       val attempts = (1 to reps).map { i =>
         System.gc()
         val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // FULL-PLAN execution, not .count() (r10): under a count
+        // aggregate Catalyst prunes unreferenced window/sort/projection
+        // tails (win_rank's entire WindowExec vanished — ShuffleProbe
+        // measured 0 shuffle bytes), so count() times a DIFFERENT plan
+        // than any consumer of the result runs. toRdd executes the
+        // key's own plan with its full output schema. Times for
+        // projection-tail keys rise accordingly vs rounds ≤ r10-early;
+        // the delta is the measurement fix, not a regression (DESIGN
+        // §13).
+        val n = try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-22s try$i $dt%8.2fs rows=$n")
         (dt, n)

@@ -29,7 +29,9 @@ object TimeKey {
     val fn = SparkEntry.queries(key)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full-plan execution, matching Bench (a bare count() lets
+      // Catalyst prune unused window/sort tails — DESIGN §13)
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[timekey] $key run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()
