@@ -383,7 +383,7 @@ object PipelineOps {
     "pipe_decontaminate" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val spans = docs
-        .select(col("doc_id"), explode(TextAnalysisOps.grams(3)).as("g"))
+        .select(col("doc_id"), TextAnalysisOps.wordGrams(3).as("g"))
         .distinct()
       val evalSp = spans.where(pmod(col("doc_id"), lit(100)) === 0)
         .select(col("g")).distinct()

@@ -148,7 +148,7 @@ object TextAnalysisOps {
     "text_repetition" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       def gramStats(n: Int) = docs
-        .select(col("doc_id"), explode(grams(n)).as("g"))
+        .select(col("doc_id"), wordGrams(n).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).cast("long").as(s"n$n"),
@@ -185,7 +185,7 @@ object TextAnalysisOps {
     // never text.
     "text_lm_score" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
-      val bg = docs.select(col("doc_id"), explode(grams(2)).as("g"))
+      val bg = docs.select(col("doc_id"), wordGrams(2).as("g"))
       val c = bg.groupBy(col("g")).agg(count(lit(1)).as("c"))
       val cu = bg.groupBy(substring_index(col("g"), " ", 1).as("w1"))
         .agg(count(lit(1)).as("cu"))
@@ -247,7 +247,7 @@ object TextAnalysisOps {
     // oracle exact).
     "dedup_span_shared" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
-      val spans = docs.select(col("doc_id"), explode(grams(3)).as("g"))
+      val spans = docs.select(col("doc_id"), wordGrams(3).as("g"))
         .distinct()
       val dfreq = spans.groupBy(col("g")).agg(count(lit(1)).as("nd"))
       val per = spans.join(dfreq, "g")
@@ -297,12 +297,27 @@ object TextAnalysisOps {
 
   /** Word n-gram array of `text` (space-joined, overlapping), empty for
     * docs with < n tokens — Spark's sequence() DESCENDS for end < start,
-    * so the short-doc guard is mandatory (same trap as sim_ngram_jaccard). */
+    * so the short-doc guard is mandatory (same trap as sim_ngram_jaccard).
+    * This is the declarative REFERENCE form; the hot paths explode
+    * [[wordGrams]] instead (r10) — the codegen'd custom Generator with
+    * identical output (proven equal in RewriteEquivalenceSpec), minus
+    * the interpreted transform/slice/concat_ws lambda chain that made
+    * the per-document keys allocation-bound. */
   private[operators] def grams(n: Int): Column = expr(
     s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
       s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
       s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))) " +
       "ELSE CAST(array() AS array<string>) END")
+
+  /** Generator form of [[grams]] — one output row per gram, computed by
+    * the codegen'd [[graft.functions.WordGramGenerator]] (one byte scan
+    * per row, one byte-slice per gram). Use in place of
+    * `explode(grams(n))`. */
+  private[operators] def wordGrams(n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WordGramGenerator(
+      GraftBridge.expression(col("text")), n))
+  }
 
   /** Oracle-side mirror of [[grams]]: 1-based list indexing, range() is
     * end-exclusive and already empty for short docs. */

@@ -423,4 +423,33 @@ class RewriteEquivalenceSpec extends SparkTestBase {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(gen == decl, s"${gen.length} vs ${decl.length}")
   }
+
+  test("WordGramGenerator equals explode(grams(n)) — corpus and " +
+    "adversarial strings") {
+    val ss = spark
+    import ss.implicits._
+    import graft.functions.WordGramGenerator
+    // adversarial: empty, single token, exact-n tokens, multi-space
+    // (empty tokens kept by split), leading/trailing space, unicode
+    // multibyte, long random token soups
+    val texts = Seq("", "one", "a b", "a b c", "a  b", " a b", "a b ",
+      "héllo wörld ünïcode tokens", "a      b c") ++
+      Seq.fill(60)(Seq.fill(1 + rnd.nextInt(12))(
+        s"w${rnd.nextInt(9)}").mkString(" "))
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val gen = df.select(GraftBridge.column(WordGramGenerator(
+        GraftBridge.expression(col("text")), n)).as("g"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      val decl = df.select(explode(expr(
+        s"CASE WHEN size(split(text, ' ')) >= $n THEN " +
+          s"transform(sequence(1, size(split(text, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i, $n))) " +
+          "ELSE CAST(array() AS array<string>) END")).as("g"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(gen == decl,
+        s"n=$n: ${gen.length} vs ${decl.length}; " +
+          s"firstDiff=${gen.zip(decl).find(p => p._1 != p._2)}")
+    }
+  }
 }
