@@ -948,18 +948,21 @@ object TextSimOps {
     // affordable because the candidate stage already bounded the pairs.
     "sim_ngram_jaccard" -> ((s: SparkSession, d: String) => {
       val cand = exactWordPairs(s, d, 95).select(col("da"), col("db"))
-      // Spark's sequence(1, n) DESCENDS for n < 1, so a <5-char text
-      // would yield garbage shingles where the oracle's range() is empty
-      // — guard to an explicit empty list for short texts.
-      // shingles as sorted 64-bit fingerprints (see interCount) — only
-      // intersection/union COUNTS flow downstream, never the strings
-      val grams = t(s, d, "documents").select(col("doc_id"),
-        sort_array(array_distinct(expr(
-          "CASE WHEN length(text) >= 5 THEN " +
-            "transform(sequence(1, length(text) - 4), " +
-            "i -> xxhash64(substring(text, i, 5))) " +
-            "ELSE CAST(array() AS array<bigint>) END")))
-          .as("ng"))
+      // shingles as sorted distinct 64-bit fingerprints (see
+      // interCount) — only intersection/union COUNTS flow downstream,
+      // never the strings. r10: the codegen'd SortedShingleHashes
+      // expression replaces the declarative
+      // sort_array(array_distinct(transform(sequence(..xxhash64..))))
+      // chain — identical output (RewriteEquivalenceSpec, incl. the
+      // short-text empty-array guard Spark's descending sequence()
+      // made mandatory), one compiled pass instead of an interpreted
+      // lambda per shingle.
+      val grams = {
+        import org.apache.spark.sql.GraftBridge
+        t(s, d, "documents").select(col("doc_id"),
+          GraftBridge.column(graft.functions.SortedShingleHashes(
+            GraftBridge.expression(col("text")), 5)).as("ng"))
+      }
       // gram attaches unhinted: doc-count-sized table behind its own
       // exchange — AQE broadcasts it when it fits (see docTokens note)
       cand

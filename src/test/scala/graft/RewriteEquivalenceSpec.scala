@@ -452,4 +452,27 @@ class RewriteEquivalenceSpec extends SparkTestBase {
           s"firstDiff=${gen.zip(decl).find(p => p._1 != p._2)}")
     }
   }
+
+  test("SortedShingleHashes equals the declarative " +
+    "sort_array(array_distinct(transform(xxhash64))) chain") {
+    val ss = spark
+    import ss.implicits._
+    import graft.functions.SortedShingleHashes
+    val texts = Seq("", "abc", "abcd", "abcde", "abcdef", "aaaaaaa",
+      "héllo wörld ünïcode", "abcde abcde abcde") ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(40))(
+        ('a' + rnd.nextInt(5)).toChar).mkString)
+    val df = texts.toDF("text")
+    val gen = df.select(GraftBridge.column(SortedShingleHashes(
+        GraftBridge.expression(col("text")), 5)).as("ng"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val decl = df.select(sort_array(array_distinct(expr(
+        "CASE WHEN length(text) >= 5 THEN " +
+          "transform(sequence(1, length(text) - 4), " +
+          "i -> xxhash64(substring(text, i, 5))) " +
+          "ELSE CAST(array() AS array<bigint>) END"))).as("ng"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(gen == decl,
+      s"firstDiff=${gen.zip(decl).zipWithIndex.find(p => p._1._1 != p._1._2)}")
+  }
 }
