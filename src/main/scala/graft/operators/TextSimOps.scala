@@ -522,9 +522,15 @@ object TextSimOps {
     * streaming DataFrame (used by both the batch `stream_neardup` key
     * and the Structured Streaming form in NearDupStream). */
   private[graft] def bandRowsOf(docs: DataFrame): DataFrame = {
-    def h(i: Int): Column = expr(
-      "aggregate(array_distinct(split(text, ' ')), " +
-        s"CAST(${Long.MaxValue} AS BIGINT), (a, x) -> least(a, xxhash64(x, $i)))")
+    // r10: the codegen'd TokenMinHash replaces the interpreted
+    // aggregate(array_distinct(split), least(xxhash64)) fold —
+    // identical values (RewriteEquivalenceSpec), one byte scan per
+    // signature component instead of re-splitting the text 8×.
+    def h(i: Int): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.TokenMinHash(
+        GraftBridge.expression(col("text")), i))
+    }
     docs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         xxhash64(h(2 * b), h(2 * b + 1))): _*)).as(Seq("band", "bkey")))

@@ -475,4 +475,27 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     assert(gen == decl,
       s"firstDiff=${gen.zip(decl).zipWithIndex.find(p => p._1._1 != p._1._2)}")
   }
+
+  test("TokenMinHash equals the declarative aggregate(least(xxhash64)) fold") {
+    val ss = spark
+    import ss.implicits._
+    import graft.functions.TokenMinHash
+    val texts = Seq("", "one", "a b c", "a  b", " lead", "trail ",
+      "héllo wörld tokens", "dup dup dup") ++
+      Seq.fill(50)(Seq.fill(1 + rnd.nextInt(10))(
+        s"t${rnd.nextInt(7)}").mkString(" "))
+    val df = texts.toDF("text")
+    for (i <- Seq(0, 3, 7)) {
+      val gen = df.select(GraftBridge.column(TokenMinHash(
+        GraftBridge.expression(col("text")), i)).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      val decl = df.select(expr(
+        "aggregate(array_distinct(split(text, ' ')), " +
+          s"CAST(${Long.MaxValue} AS BIGINT), " +
+          s"(a, x) -> least(a, xxhash64(x, $i)))").as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(gen == decl, s"seed $i: firstDiff=" +
+        gen.zip(decl).zipWithIndex.find(p => p._1._1 != p._1._2))
+    }
+  }
 }
