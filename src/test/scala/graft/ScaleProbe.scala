@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * exact-dup cliques the mask quotient would absorb for free), then
   * times pair generation and clustered CC at each size. Output feeds
   * DESIGN §12's scaling table. Usage:
-  * Test/runMain graft.ScaleProbe [baseSfDir] [outRoot]. */
+  * Test/runMain graft.ScaleProbe [baseSfDir] [outRoot] [k1,k2,…]. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val ks = if (args.length > 2) args(2).split(",").toSeq.map(_.toInt)
+      else Seq(1, 2, 4, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +31,7 @@ object ScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val docs = Tables.t(spark, base, "documents")
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (k <- ks) {
       val dir = s"$outRoot/x$k"
       val copies = (0 until k).map { j =>
         if (j == 0) docs
