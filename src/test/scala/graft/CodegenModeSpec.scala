@@ -11,10 +11,12 @@ package graft
   * requires byte-identical results. */
 class CodegenModeSpec extends SparkTestBase {
   // DotProductF32 (dedup_embed, knn_cosine), ShingleHash64
-  // (text_fingerprint), SortedIntersectCount (sim_ngram_jaccard's
-  // verify), ShingleGenerator (udtf_shingle_gen)
+  // (text_fingerprint), SortedIntersectCount + SortedShingleHashes
+  // (sim_ngram_jaccard), ShingleGenerator (udtf_shingle_gen),
+  // WordGramGenerator (text_lm_score), TokenMinHash (dedup_minhash)
   private val keys = Seq("dedup_embed", "knn_cosine", "text_fingerprint",
-    "sim_ngram_jaccard", "udtf_shingle_gen")
+    "sim_ngram_jaccard", "udtf_shingle_gen", "text_lm_score",
+    "dedup_minhash")
 
   test("interpreted eval equals generated code on expression-heavy keys") {
     val viaCodegen = keys
