@@ -154,17 +154,37 @@ object TextSimOps {
     // but saves TWO full corpus tokenize+shuffle passes per operator at
     // real scale, where the corpus scan is the cost. The pin is the
     // (doc, token)-distinct table, the smallest frame in the pipeline.
+    //
+    // Pin retention (ADVICE r10): localCheckpoint blocks persist until
+    // the checkpointed RDD is GC'd and reaped by the ContextCleaner —
+    // there is no handle here to unpersist eagerly (the returned frame
+    // escapes into arbitrary downstream plans). Acceptable because the
+    // pin is the smallest frame in the pipeline (distinct (doc, token)
+    // rows, ~the corpus' token column) and each Verify/Bench key runs
+    // in its own query; a long-lived session that loops pair operators
+    // bounds retention via normal driver GC. A reliable
+    // `spark.graft.checkpointDir` run writes to DFS instead and is
+    // cleaned by `spark.cleaner.referenceTracking.cleanCheckpoints`.
     val tp = tok.pinned
-    val dfreq = tp.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    if (dfreq.limit(63).count() > 62) None
-    else {
-      val dict = dfreq.select(col("w"),
-        (row_number().over(Window.orderBy("df", "w")) - 1).as("grank"))
-      Some(tp.join(dict, "w")
+    bitsetDict(tp).map { dict =>
+      tp.join(dict, "w")
         .groupBy(col("doc_id"))
         .agg(expr("bit_or(shiftleft(1L, grank))").as("m"))
-        .withColumn("c", expr("bit_count(m)")))
+        .withColumn("c", expr("bit_count(m)"))
     }
+  }
+
+  /** The ≤62-token global dictionary (w, grank) behind [[bitsetDocs]],
+    * or None when the vocabulary overflows one 64-bit word. Split out
+    * (r11) so [[minhashCandAndPairs]] can fuse the mask build into the
+    * SAME groupBy that computes the MinHash signature — one doc-keyed
+    * shuffle instead of two, and the exact verify rides the band join
+    * inline instead of two mask-attach joins. */
+  private def bitsetDict(tok: DataFrame): Option[DataFrame] = {
+    val dfreq = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    if (dfreq.limit(63).count() > 62) None
+    else Some(dfreq.select(col("w"),
+      (row_number().over(Window.orderBy("df", "w")) - 1).as("grank")))
   }
 
   /** Posting rows regenerated from the masks themselves — bit g of `m`
@@ -534,6 +554,140 @@ object TextSimOps {
     docs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         xxhash64(h(2 * b), h(2 * b + 1))): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Banded-MinHash near-dup candidates AND exact-verified pairs at
+    * J ≥ 0.75, parameterized by the banding (nBands × nRows) so the
+    * (b,r) sensitivity table in ExtOpsSpec measures real plans, not a
+    * formula. Returns (candidates(da,db), pairs(da,db,dist)).
+    *
+    * r11 restructure (VERDICT r10 #2 — the verify attach was the
+    * family's biggest shuffle mover, 31 MiB at sf0.1):
+    *  - ONE doc-keyed groupBy computes the signature and the verify
+    *    payload together. On the bitset path (closed ≤62-token
+    *    vocabulary, [[bitsetDict]]) the payload is the exact BIGINT set
+    *    mask, 8 bytes; the general path carries the sorted fingerprint
+    *    array it would otherwise rebuild in [[docTokens]].
+    *  - The band rows carry the verify payload, so on the bitset path
+    *    the EXACT threshold is evaluated INLINE in the band join —
+    *    the candidate-pair exchange and both mask-attach joins are
+    *    gone (3 joins → 1). Precision stays 1; only recall is
+    *    probabilistic (P(detect | J) = 1 − (1 − J^r)^b).
+    *  - The general path cannot afford token arrays in band rows;
+    *    instead band rows carry the token COUNT and the join applies
+    *    the length gate inline (J ≥ τ forces τ·ca ≤ 100·cb and
+    *    τ·cb ≤ 100·ca), pruning candidates before the one remaining
+    *    array-attach round trip.
+    * First-colliding-band uniqueness (emit a pair only at its lowest
+    * matching band, via inequality on all earlier band keys) keeps the
+    * candidate stream duplicate-free with no post-join distinct. */
+  private[graft] def minhashCandAndPairs(s: SparkSession, d: String,
+      nBands: Int, nRows: Int): (DataFrame, DataFrame) = {
+    val tauPct = 75
+    val nH = nBands * nRows
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .pinned
+    val hAggs = (0 until nH).map(i =>
+      min(xxhash64(col("w"), lit(i))).as(s"h$i"))
+    val bkExprs = (0 until nBands).map(b =>
+      xxhash64((b * nRows until (b + 1) * nRows).map(i => col(s"h$i")): _*)
+        .as(s"bk$b"))
+    // one posexplode pass, NOT a per-band union — a union re-plans (and
+    // re-shuffles) the whole signature aggregation once per band
+    // (measured r9: 14 hash exchanges → 6 in the physical plan)
+    def sides(keyed: DataFrame, payload: Seq[String])
+        : (DataFrame, DataFrame) = {
+      val rows = keyed.select(col("doc_id") +: payload.map(col) ++:
+        (0 until nBands).map(b => col(s"bk$b")) :+
+        posexplode(array((0 until nBands).map(b => col(s"bk$b")): _*))
+          .as(Seq("band", "bkey")): _*)
+      val xa = rows.select(col("doc_id").as("da") +:
+        payload.map(p => col(p).as(p + "a")) ++:
+        Seq(col("band"), col("bkey")) ++:
+        (0 until nBands).map(b => col(s"bk$b").as(s"xa$b")): _*)
+      val yb = rows.select(col("doc_id").as("db") +:
+        payload.map(p => col(p).as(p + "b")) ++:
+        Seq(col("band").as("bandy"), col("bkey").as("bkeyy")) ++:
+        (0 until nBands).map(b => col(s"bk$b").as(s"yb$b")): _*)
+      (xa, yb)
+    }
+    // First-colliding-band trick: a pair is emitted only at the lowest
+    // band where its buckets match, so candidates are duplicate-free by
+    // construction — no post-join distinct() shuffle (the classic LSH
+    // dedup; cuts a ~4x-inflated exchange at sf0.1).
+    val firstHit = (0 until nBands).map { b =>
+      (0 until b).map(j => col(s"xa$j") =!= col(s"yb$j"))
+        .foldLeft(col("band") === b)(_ && _)
+    }.reduce(_ || _)
+    val bandEq = col("band") === col("bandy") &&
+      col("bkey") === col("bkeyy") && col("da") < col("db") && firstHit
+    def finish(p: DataFrame): DataFrame = p
+      // single-occurrence threshold form (see exactWordPairs):
+      // J ≥ τ ⇔ (100+τ)·inter ≥ τ·(ca+cb)
+      .where(lit(100 + tauPct) * col("inter") >=
+        lit(tauPct) * (col("ca") + col("cb")))
+      .withColumn("uni", col("ca") + col("cb") - col("inter"))
+      .select(col("da"), col("db"),
+        round6(lit(1.0) - col("inter").cast("double") /
+          col("uni").cast("double")).as("dist"))
+      // Deterministic presentation order. This global sort is now the
+      // key's ONLY large exchange (r11 ShuffleProbe: 30 of 31 MiB at
+      // sf0.1 — the candidate+verify stage shuffles 1.2 MiB), and its
+      // RangePartitioning bound-sampling re-runs the final (narrow)
+      // join-probe stage once. Both costs are output-sized and exist
+      // solely for run-to-run determinism of the dumped pair set; a
+      // 100 TB consumer feeding CC / keep-best (keyed consumers) would
+      // drop the orderBy and with it ~95% of the key's shuffle volume.
+      .orderBy("da", "db")
+    val dictOpt = if (forceGeneral(s)) None else bitsetDict(tok)
+    dictOpt match {
+      case Some(dict) =>
+        // pinned: BOTH band-join sides consume keyed — unpinned, each
+        // side re-plans the dict window + signature agg (the subtree
+        // would execute twice, and the ≤62-row dictionary's
+        // single-partition rank window would leak into the key's own
+        // plan; pinning keeps it a one-off dictionary-sized job, the
+        // same discipline as bitsetDocs' callers)
+        val keyed = tok.join(dict, "w")
+          .groupBy(col("doc_id"))
+          .agg(expr("bit_or(shiftleft(1L, grank))").as("m"), hAggs: _*)
+          .withColumn("c", expr("bit_count(m)"))
+          .select(col("doc_id") +: col("m") +: col("c") +: bkExprs: _*)
+          .pinned
+        val (xa, yb) = sides(keyed, Seq("m", "c"))
+        val joined = xa.join(yb, bandEq)
+        val cand = joined.select(col("da"), col("db"))
+        val pairs = joined.select(col("da"), col("db"),
+          expr("bit_count(ma & mb)").as("inter"),
+          col("ca"), col("cb"))
+        (cand, finish(pairs))
+      case None =>
+        // pinned: three consumers (band rows + both verify attaches) —
+        // one tokenize + one doc-keyed groupBy total
+        val keyed = tok.groupBy(col("doc_id"))
+          .agg(hAggs.head,
+            hAggs.tail :+
+              sort_array(collect_set(xxhash64(col("w")))).as("wh"): _*)
+          .withColumn("c", size(col("wh")))
+          .select(col("doc_id") +: col("wh") +: col("c") +: bkExprs: _*)
+          .pinned
+        val (xa, yb) = sides(keyed.drop("wh"), Seq("c"))
+        // length gate inline: prunes candidates BEFORE the array attach
+        val joined = xa.join(yb, bandEq &&
+          lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
+          lit(100) * col("cb") >= lit(tauPct) * col("ca"))
+        val cand = joined.select(col("da"), col("db"),
+          col("ca"), col("cb"))
+        val pairs = cand
+          .join(keyed.select(col("doc_id").as("da"), col("wh").as("wa")),
+            "da")
+          .join(keyed.select(col("doc_id").as("db"), col("wh").as("wb")),
+            "db")
+          .withColumn("inter", interCount(col("wa"), col("wb")))
+        (cand.select(col("da"), col("db")), finish(pairs))
+    }
   }
 
   private val CcRounds = 6
@@ -1047,90 +1201,21 @@ object TextSimOps {
         .orderBy("g1", "g2", "label_c", "lang_c")),
 
     // ⊘ approximate — no oracle; recall tested in-repo vs exact Jaccard.
-    // Banded MinHash, hand-rolled in DataFrame ops (b=4 bands × r=2 rows):
-    // seeded xxhash64 per token → min per doc = signature; docs sharing any
-    // band bucket become candidates; candidates are then EXACT-verified via
-    // token-array intersection (J >= 0.75 ⇔ dist <= 0.25), so precision is
-    // 1 and only recall is probabilistic (P(detect | J) = 1-(1-J²)⁴; ≥0.998
-    // at J=0.9). This replaces MLlib's approxSimilarityJoin, whose per-pair
-    // sparse-vector distance on a tiny-vocabulary corpus (all docs share
-    // buckets) was a measured 365 s at sf0.1 — the banded form is ~100×
-    // faster and is the true 100 TB design: the band join shuffles only
-    // (band, bucket) keys and never materializes non-colliding pairs.
-    "dedup_minhash" -> ((s: SparkSession, d: String) => {
-      val nBands = 4 // r = 2 hash rows per band
-      // pinned: THREE consumers (signature agg, bitset gate, masks) —
-      // one tokenize+distinct pass instead of three (r10)
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .distinct()
-        .pinned
-      val sig = tok.groupBy(col("doc_id")).agg(
-        (0 until 2 * nBands).map(i =>
-          min(xxhash64(col("w"), lit(i))).as(s"h$i")).head,
-        (0 until 2 * nBands).map(i =>
-          min(xxhash64(col("w"), lit(i))).as(s"h$i")).tail: _*)
-      val keyed = sig.select(col("doc_id") +:
-        (0 until nBands).map(b =>
-          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"bk$b")): _*)
-      // one posexplode pass, NOT a per-band union — a union re-plans (and
-      // re-shuffles) the whole signature aggregation once per band
-      // (measured: 14 hash exchanges → 6 in the physical plan)
-      val bandRows = keyed.select(col("doc_id"), col("bk0"), col("bk1"),
-        col("bk2"),
-        posexplode(array((0 until nBands).map(b => col(s"bk$b")): _*))
-          .as(Seq("band", "bkey")))
-      val xa = bandRows.select(col("doc_id").as("da"), col("band"),
-        col("bkey"), col("bk0").as("xa0"), col("bk1").as("xa1"),
-        col("bk2").as("xa2"))
-      val yb = bandRows.select(col("doc_id").as("db"), col("band").as("bandy"),
-        col("bkey").as("bkeyy"), col("bk0").as("yb0"), col("bk1").as("yb1"),
-        col("bk2").as("yb2"))
-      // First-colliding-band trick: a pair is emitted only at the lowest
-      // band where its buckets match, so candidates are duplicate-free by
-      // construction — no post-join distinct() shuffle (the classic LSH
-      // dedup; cuts a ~4x-inflated 50M-row exchange at sf0.1).
-      val firstHit = (col("band") === 0) ||
-        (col("band") === 1 && col("xa0") =!= col("yb0")) ||
-        (col("band") === 2 && col("xa0") =!= col("yb0") &&
-          col("xa1") =!= col("yb1")) ||
-        (col("band") === 3 && col("xa0") =!= col("yb0") &&
-          col("xa1") =!= col("yb1") && col("xa2") =!= col("yb2"))
-      val cand = xa.join(yb, col("band") === col("bandy") &&
-          col("bkey") === col("bkeyy") && col("da") < col("db") && firstHit)
-        .select(col("da"), col("db"))
-      // exact verify: on a dictionary-fitting corpus attach the exact
-      // BIGINT set masks (bitsetDocs, r10) — the intersection is one
-      // AND+POPCNT instead of a merge scan, and the attach carries 8
-      // bytes per doc instead of a token array. Open vocabulary falls
-      // back to the sorted-fingerprint arrays + codegen merge count.
-      val verified = bitsetDocs(tok) match {
-        case Some(docs) if !forceGeneral(s) =>
-          val dm = docs.pinned
-          cand
-            .join(dm.select(col("doc_id").as("da"), col("m").as("ma"),
-              col("c").as("ca")), "da")
-            .join(dm.select(col("doc_id").as("db"), col("m").as("mb"),
-              col("c").as("cb")), "db")
-            .withColumn("inter", expr("bit_count(ma & mb)"))
-        case _ =>
-          val dt = docTokens(s, d)
-          cand
-            .join(dt.select(col("doc_id").as("da"), col("wh").as("wa"),
-              col("c").as("ca")), "da")
-            .join(dt.select(col("doc_id").as("db"), col("wh").as("wb"),
-              col("c").as("cb")), "db")
-            .withColumn("inter", interCount(col("wa"), col("wb")))
-      }
-      verified
-        // single-occurrence threshold form (see exactWordPairs)
-        .where(lit(100 + 75) * col("inter") >= lit(75) * (col("ca") + col("cb")))
-        .withColumn("uni", col("ca") + col("cb") - col("inter"))
-        .select(col("da"), col("db"),
-          round6(lit(1.0) -
-            col("inter").cast("double") / col("uni").cast("double")).as("dist"))
-        .orderBy("da", "db")
-    }))
+    // Banded MinHash (LSH) with the exact verify evaluated INLINE in the
+    // band join — see [[minhashCandAndPairs]] for the r11 plan and the
+    // design rationale. b=4 × r=2 is justified by the measured ExtOpsSpec
+    // sensitivity table (recall/precision/candidates at (4,2),(8,1),
+    // (8,2),(16,1) vs exact ground truth), not inherited: (4,2) has the
+    // FEWEST candidates (102k vs 124k for (16,1) at sf0.001) AND half
+    // the band rows of the 8-band configs, at recall 0.997
+    // (P(detect|J)=1-(1-J²)⁴ ≥ 0.998 at J=0.9) — the r=1 configs buy
+    // their last 0.3% of recall with ~20% more candidates and 2–4×
+    // the band-row volume. Replaces MLlib's approxSimilarityJoin, whose
+    // per-pair sparse-vector distance was a measured 365 s at sf0.1 —
+    // the banded form shuffles only (band, bucket) keys and never
+    // materializes non-colliding pairs.
+    "dedup_minhash" -> ((s: SparkSession, d: String) =>
+      minhashCandAndPairs(s, d, nBands = 4, nRows = 2)._2))
 
   /** Shared oracle CTE chain (no WITH/RECURSIVE header): the exact
     * near-dup pair graph at [[TauPct]] and its connected components as

@@ -111,8 +111,12 @@ class ExtOpsSpec extends SparkTestBase {
 
   test("knn_graph_ivf: valid subgraph of within-cell pairs with " +
     "recall vs the exact graph") {
-    val exact = SparkEntry.queries("knn_graph")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one collect feeds both the edge set and the cos map (ADVICE r10:
+    // knn_graph is the most expensive query in this spec)
+    val exactRows = SparkEntry.queries("knn_graph")(spark, sf).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val ivf = SparkEntry.queries("knn_graph_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)
     // structure: ≤3 neighbors per node, rn contiguous, cos in [-1, 1]
@@ -123,19 +127,59 @@ class ExtOpsSpec extends SparkTestBase {
     ivf.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
     // every IVF edge's cos must equal the exact graph's cos when the
     // same edge exists there (same metric, same rounding)
-    val exactCos = SparkEntry.queries("knn_graph")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     ivf.foreach { r =>
       exactCos.get((r.getLong(0), r.getLong(1)))
         .foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-9))
     }
     // recall floor: near-uniform unit vectors spread across 16 cells
-    // lose many cross-cell neighbors — the documented trade; require a
-    // non-degenerate overlap
+    // lose many cross-cell neighbors — the documented trade. 0.15 is
+    // set from the observed value (0.194 at sf0.001; ADVICE r10: 0.05
+    // was nearly vacuous) so a cell-assignment regression actually
+    // fails while leaving headroom for corpus regeneration.
     val hits = ivf.count(r => exact((r.getLong(0), r.getLong(1))))
     val recall = hits.toDouble / exact.size
     info(f"knn_graph_ivf edge recall vs exact: $recall%.3f")
-    assert(recall >= 0.05, s"recall $recall degenerate")
+    assert(recall >= 0.15, s"recall $recall below the observed floor")
+  }
+
+  test("dedup_minhash (b,r) sensitivity: measured recall/candidates " +
+    "justify the shipped (4,2)") {
+    // VERDICT r10 #7: the banding choice must be a measured row, not
+    // inherited. Ground truth = the EXACT J >= 0.75 pair set (same
+    // corpus, same threshold); every config's output must be a subset
+    // (precision 1 — the verify is exact), recall is the banding's
+    // only degree of freedom, and candidate count is its cost.
+    val truth = operators.TextSimOps.exactWordPairs(spark, sf, 75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "degenerate corpus: no exact pairs at 0.75")
+    val rows = for ((b, r) <- Seq((4, 2), (8, 1), (8, 2), (16, 1))) yield {
+      val (candDf, pairsDf) =
+        operators.TextSimOps.minhashCandAndPairs(spark, sf, b, r)
+      val nCand = candDf.count()
+      val out = pairsDf.collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+      val extra = out -- truth
+      assert(extra.isEmpty,
+        s"(b=$b,r=$r) emitted ${extra.size} non-qualifying pairs " +
+          s"(verify must be exact): ${extra.take(3)}")
+      val recall = out.count(truth.contains).toDouble / truth.size
+      (b, r, recall, nCand, out.size)
+    }
+    rows.foreach { case (b, r, recall, nCand, nOut) =>
+      info(f"b=$b%2d r=$r recall=$recall%.4f candidates=$nCand%9d " +
+        f"pairs=$nOut%8d truth=${truth.size}%8d")
+    }
+    // the shipped config must clear the operator's recall contract,
+    // and r=1 bandings must demonstrate the candidate blow-up that
+    // justifies r=2 (single-hash collisions admit far more
+    // low-similarity pairs at equal-or-higher recall cost)
+    val shipped = rows.find(x => x._1 == 4 && x._2 == 2).get
+    assert(shipped._3 >= 0.9, s"(4,2) recall ${shipped._3} below floor")
+    val c42 = shipped._4
+    val c81 = rows.find(x => x._1 == 8 && x._2 == 1).get._4
+    assert(c81 > c42,
+      s"(8,1) candidates $c81 did not exceed (4,2)'s $c42 — " +
+        "the table no longer justifies r=2; re-derive the banding")
   }
 
   test("text_simhash: near-identical docs have small hamming distance") {

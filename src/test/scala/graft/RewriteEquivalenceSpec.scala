@@ -115,6 +115,26 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sim.forceGeneral")
   }
 
+  test("dedup_minhash: inline-mask verify (bitset) equals the " +
+    "array-attach verify (general path)") {
+    // r11: both paths share the SAME signature and banding (min
+    // seeded-xxhash64 over the distinct token set is representation-
+    // independent), so the candidate sets are identical and the exact
+    // verify — inline bit_count on the bitset path, sorted-fingerprint
+    // merge count on the general path — must produce byte-equal pairs.
+    def mh() = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val fast = mh()
+    spark.conf.set("spark.graft.sim.forceGeneral", "true")
+    try {
+      val gen = mh()
+      assert(fast == gen,
+        s"onlyFast=${(fast -- gen).take(5)} onlyGeneral=${(gen -- fast).take(5)}")
+      assert(fast.nonEmpty, "degenerate corpus")
+    } finally spark.conf.unset("spark.graft.sim.forceGeneral")
+  }
+
   test("pipe_delta_dedup: delta-restricted bitset join equals the " +
     "endpoint-filtered general path") {
     // the delta path never GENERATES base×base candidates; the general
