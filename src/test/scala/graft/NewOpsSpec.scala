@@ -132,12 +132,30 @@ class NewOpsSpec extends SparkTestBase {
     }
     assert(pd == dd, s"pack docs $pd != corpus docs $dd")
     assert(pt == dt, s"pack tokens $pt != corpus tokens $dt")
-    // pack ids are contiguous from 0 per source and doc ranges nest
-    val bad = packs.groupBy("source")
-      .agg(min("pack_id").as("p0"), max("pack_id").as("p1"),
-        count(lit(1)).as("n"))
-      .where(col("p0") =!= 0 || col("n") =!= col("p1") + 1).count()
-    assert(bad == 0, "pack ids not contiguous from 0 within a source")
+    // the emitted pack-id set per source must be EXACTLY the derived
+    // set distinct((cum − n_tok) div cap) over the cumulative offsets
+    // (ADVICE r10: asserting 0..max contiguity was data-dependent — a
+    // doc spanning ≥1 whole capacity window leaves a legitimate gap
+    // in pack_id, so the expected set is computed, not assumed dense)
+    val cap = 512L
+    val byDoc = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = byDoc.map { case (src, rows) =>
+      var cum = 0L
+      val ids = rows.sortBy(_._2).map { case (_, _, n) =>
+        val start = cum; cum += n; start / cap
+      }
+      src -> ids.toSet
+    }
+    val got = packs.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (srcKey, xs) => srcKey -> xs.map(_._2).toSet }
+    assert(got == expected,
+      s"pack-id sets diverge: ${(expected.keySet ++ got.keySet).find(k =>
+        expected.get(k) != got.get(k))}")
     assert(packs.where(col("first_doc") > col("last_doc")).count() == 0)
   }
 }
