@@ -86,13 +86,26 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout capture truncates (r2/r3 each lost ~19 per-key timings to the
-    // tail cut) — persist the full line to a file as well
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // tail cut) — persist the full line to a file as well.
+    // SPARK_GRAFT_ONLY guard (VERDICT r10 #8): a restricted run must
+    // NEVER overwrite the canonical full-suite record — the r9 failure
+    // mode was a single-key dev run clobbering bench_out.json, which
+    // then shipped as the round's "suite". Partial runs divert to a
+    // side file unless the caller explicitly chose a path.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.nonEmpty) "bench_only_out.json" else "bench_out.json")
+    if (only.nonEmpty && out == "bench_out.json") {
+      System.err.println("[bench] refusing to write the canonical " +
+        "bench_out.json from a SPARK_GRAFT_ONLY run; using " +
+        "bench_only_out.json")
+    }
+    val outPath = if (only.nonEmpty && out == "bench_out.json")
+      "bench_only_out.json" else out
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $out: $e")
+      System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
   }

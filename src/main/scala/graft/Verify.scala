@@ -24,6 +24,17 @@ object Verify {
     // contract as Bench) — pair with parity.py's key-list argument for
     // a single-key cross-scale re-proof without a full-surface run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Testdata-drift preflight (VERDICT r10 #4): if the driver
+    // regenerated the corpus with a different schema/row-count/domain,
+    // name the drifted column in ONE line each BEFORE any key runs —
+    // an r8-style drift then reads as a handful of [preflight] lines,
+    // not 91 cascading stack traces. Non-fatal: keys that don't touch
+    // the drifted column still produce comparable results.
+    try Preflight.problems(spark, sfDir).foreach(p =>
+      System.err.println(s"[preflight] TESTDATA DRIFT: $p"))
+    catch { case e: Throwable =>
+      System.err.println(s"[preflight] preflight itself failed: $e")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

