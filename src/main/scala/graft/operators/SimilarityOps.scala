@@ -46,27 +46,38 @@ object SimilarityOps {
     * blocks) and normalize (a, b) by least/greatest — sound because
     * every downstream use (dot product) is symmetric in the pair. */
   private[graft] def tiledPairs(emb: DataFrame,
-      grp: Seq[String]): DataFrame = {
+      grp: Seq[String], payload: Seq[String] = Seq.empty): DataFrame = {
     val ss = emb.sparkSession
     import ss.implicits._
     val bp = (for (i <- 0 until TileB; j <- i until TileB) yield (i, j))
       .toDF("bi", "bj")
     val e = emb.withColumn("blk", pmod(hash(col("vec_id")), lit(TileB)))
     val left = e.join(broadcast(bp), col("blk") === col("bi"))
-      .select(grp.map(col) ++ Seq(col("vec_id").as("ia"),
-        col("embedding").as("xa"), col("bi"), col("bj")): _*)
+      .select(grp.map(col) ++ payload.map(p => col(p).as(p + "_a")) ++
+        Seq(col("vec_id").as("ia"),
+          col("embedding").as("xa"), col("bi"), col("bj")): _*)
     val right = e.join(broadcast(bp), col("blk") === col("bj"))
-      .select(grp.map(g => col(g).as(s"${g}_r")) ++ Seq(
-        col("vec_id").as("ib"), col("embedding").as("xb"),
-        col("bi").as("bi_r"), col("bj").as("bj_r")): _*)
+      .select(grp.map(g => col(g).as(s"${g}_r")) ++
+        payload.map(p => col(p).as(p + "_b")) ++ Seq(
+          col("vec_id").as("ib"), col("embedding").as("xb"),
+          col("bi").as("bi_r"), col("bj").as("bj_r")): _*)
     val cond = grp.map(g => col(g) === col(s"${g}_r"))
       .foldLeft(col("bi") === col("bi_r") && col("bj") === col("bj_r"))(_ && _)
+    // per-side payload columns (p_a / p_b) ride the pair rows; they are
+    // NORMALIZED with the (a, b) ordering so p_a always belongs to `a`
+    // — sound for the same reason least/greatest is: downstream uses
+    // are symmetric in the pair.
+    val ordered = col("ia") < col("ib")
     left.join(right, cond)
       .where(col("bi") =!= col("bj") || col("ia") < col("ib"))
-      .select(grp.map(col) ++ Seq(
-        least(col("ia"), col("ib")).as("a"),
-        greatest(col("ia"), col("ib")).as("b"),
-        col("xa").as("va"), col("xb").as("vb")): _*)
+      .select(grp.map(col) ++ payload.flatMap(p => Seq(
+        when(ordered, col(p + "_a")).otherwise(col(p + "_b")).as(p + "_a"),
+        when(ordered, col(p + "_b")).otherwise(col(p + "_a")).as(p + "_b")))
+        ++ Seq(
+          least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b"),
+          when(ordered, col("xa")).otherwise(col("xb")).as("va"),
+          when(ordered, col("xb")).otherwise(col("xa")).as("vb")): _*)
   }
 
   private def dot(a: Column, b: Column): Column = {
@@ -152,11 +163,12 @@ object SimilarityOps {
     // plan bounds memory, nothing can bound work. The measured
     // renegotiation trade (KnnScaleProbe, DESIGN §3/§11): the
     // IVF-cell-partitioned form stays near-flat where exact grows
-    // quadratically (1.65→3.1 s vs 3.4→37.0 s over 4k→16k vectors,
-    // crossover ≈5k at nlist=16) at 0.19 cross-cell edge recall on
-    // this IVF-hostile corpus. A 100 TB run keeps exactness WITHIN
-    // cells and switches to knn_graph_ivf / knn_ann_srp's existing
-    // plans across them — renegotiate the key, don't scale this one.
+    // quadratically (2.6→7.2 s vs 3.3→34.7 s over 4k→16k vectors,
+    // crossover ≈4k at nlist=16) at 0.56 cross-cell edge recall
+    // (r11 top-2 multi-probe) on this IVF-hostile corpus. A 100 TB
+    // run keeps exactness WITHIN cells and switches to knn_graph_ivf
+    // / knn_ann_srp's existing plans across them — renegotiate the
+    // key, don't scale this one.
     "dedup_embed" -> ((s: SparkSession, d: String) =>
       tiledPairs(t(s, d, "embeddings"), Seq.empty)
         .select(col("a"), col("b"), round6(dot(col("va"), col("vb"))).as("cos"))
@@ -196,8 +208,7 @@ object SimilarityOps {
     // where N²·d work dominates the (cell × dim) training agg.
     "knn_graph_ivf" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
-      knnGraph(emb.join(ivfAssignment(emb), "vec_id"), 3, Seq("cell"))
-        .orderBy("node", "rn")
+      knnGraphMultiProbe(emb, 3).orderBy("node", "rn")
     }),
 
     // ⊘ approximate ANN, IVF layout — no oracle; recall vs knn_cosine in
@@ -293,11 +304,19 @@ object SimilarityOps {
     * TopKPerGroupExec (≤k rows per node × partition shuffled) →
     * row_number on the exchange's partitioning. */
   private[graft] def knnGraph(emb: DataFrame, k: Int,
-      grp: Seq[String] = Seq.empty): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairs = tiledPairs(emb, grp)
+      grp: Seq[String] = Seq.empty): DataFrame =
+    knnGraphFromPairs(tiledPairs(emb, grp)
       .select(col("a"), col("b"),
-        round6(dot(col("va"), col("vb"))).as("cos"))
+        round6(dot(col("va"), col("vb"))).as("cos")), k)
+
+  /** The k-NN-graph tail over any duplicate-free (a, b, cos) pair
+    * stream: both-direction explode → TopKPerGroupExec (≤k rows per
+    * node × partition shuffled) → row_number on the exchange's
+    * partitioning. Split out (r11) so the multi-probe IVF candidate
+    * generator reuses it. */
+  private[graft] def knnGraphFromPairs(pairs: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val directed = pairs.select(explode(array(
         struct(col("a").as("node"), col("b").as("nbr"), col("cos")),
         struct(col("b").as("node"), col("a").as("nbr"), col("cos"))))
@@ -310,6 +329,48 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("nbr"))
     top.withColumn("rn", row_number().over(w))
       .select(col("node"), col("nbr"), col("cos"), col("rn"))
+  }
+
+  /** Multi-probe IVF k-NN graph (r11): every vector candidates in its
+    * TOP-2 trained cells instead of one. The single-probe form loses
+    * any true neighbor whose home cell differs — on THIS corpus's
+    * near-uniform vectors that was most of them (measured edge recall
+    * 0.19); with p=2 a pair is found iff the two vectors' top-2 cell
+    * SETS intersect. Pair work rises from Θ(Σ n_c²) to ≤ 4× that
+    * (each cell's occupancy ≤ doubles) — same asymptotic family, same
+    * per-task memory bound via [[tiledPairs]].
+    *
+    * Duplicate-free without a distinct shuffle: a pair whose cell sets
+    * share TWO cells would meet twice, so each meeting carries both
+    * sides' (c1, c2) as tiledPairs payload and the pair is emitted
+    * only in the LEAST shared cell (the minhash first-colliding-band
+    * trick; `least` skips the null arms of the membership `when`s). */
+  private[graft] def knnGraphMultiProbe(emb: DataFrame,
+      k: Int): DataFrame = {
+    val means = ivfMeans(emb)
+    val scored = emb.crossJoin(broadcast(means))
+      .withColumn("cd", dot(col("embedding"), col("cvec")))
+    // top-2 trained cells per vector: 16 scored rows fold into one
+    // sorted 2-prefix — deterministic (sort on (-cd, tcell); the
+    // collect_list's order is irrelevant under sort_array)
+    val top2 = scored.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct((-col("cd")).as("nc"),
+        col("tcell")))).as("cs"))
+      .select(col("vec_id").as("tv"),
+        col("cs")(0)("tcell").as("c1"), col("cs")(1)("tcell").as("c2"))
+    val probed = emb.join(top2, col("vec_id") === col("tv"))
+      .select(col("vec_id"), col("embedding"), col("c1"), col("c2"),
+        explode(array(col("c1"), col("c2"))).as("cell"))
+    val minShared = least(
+      when(col("c1_a") === col("c1_b") || col("c1_a") === col("c2_b"),
+        col("c1_a")),
+      when(col("c2_a") === col("c1_b") || col("c2_a") === col("c2_b"),
+        col("c2_a")))
+    val pairs = tiledPairs(probed, Seq("cell"), Seq("c1", "c2"))
+      .where(col("cell") === minShared)
+      .select(col("a"), col("b"),
+        round6(dot(col("va"), col("vb"))).as("cos"))
+    knnGraphFromPairs(pairs, k)
   }
 
   private def oDot(a: String, b: String): String =

@@ -43,10 +43,9 @@ object KnnScaleProbe {
       val e2 = Tables.t(spark, dir, "embeddings")
       val (ne, te) = time(
         operators.GraftOps.knnGraph(e2, 3).count())
-      val withCell = e2.join(
-        operators.SimilarityOps.ivfAssignment(e2), "vec_id")
+      // the shipped key's exact plan (r11: top-2 multi-probe)
       val (ni, ti) = time(
-        operators.GraftOps.knnGraph(withCell, 3, Seq("cell")).count())
+        operators.SimilarityOps.knnGraphMultiProbe(e2, 3).count())
       println(f"[knnscale] k=$k%d vecs=${2000 * k}%6d " +
         f"exact_rows=$ne%7d exact_s=$te%7.2f " +
         f"ivf_rows=$ni%7d ivf_s=$ti%7.2f")
