@@ -174,6 +174,41 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     } yield (s"lab${a % 3}", a, b)).toSet)
   }
 
+  test("tiledPairs payload columns stay attached to their own side") {
+    // r11: payload columns are normalized with the (a, b) ordering —
+    // p_a must always be a's value and p_b b's, and the embeddings
+    // (va, vb) must follow the same normalization, regardless of which
+    // tile the pair met in or which side of the block join each vector
+    // rode. Payload = a bijection of vec_id so the check is exact.
+    val ss = spark
+    import ss.implicits._
+    val emb = (0L until 120).map { id =>
+      (id, Array.fill(4)(rnd.nextFloat()), id * 1000 + 7)
+    }.toDF("vec_id", "embedding", "tag")
+    val rows = operators.SimilarityOps
+      .tiledPairs(emb, Seq.empty, Seq("tag"))
+      .select("a", "b", "tag_a", "tag_b").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * 1000 + 7,
+        s"tag_a ${r.getLong(2)} not a's (${r.getLong(0)})")
+      assert(r.getLong(3) == r.getLong(1) * 1000 + 7,
+        s"tag_b ${r.getLong(3)} not b's (${r.getLong(1)})")
+    }
+    // embeddings follow the same ordering: va's first component must
+    // equal the component stored for `a` (checked via a self-join)
+    val first = emb.select(col("vec_id"), element_at(col("embedding"), 1)
+      .as("f0")).collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val vrows = operators.SimilarityOps
+      .tiledPairs(emb, Seq.empty, Seq("tag"))
+      .select(col("a"), col("b"), element_at(col("va"), 1).as("fa"),
+        element_at(col("vb"), 1).as("fb")).collect()
+    vrows.foreach { r =>
+      assert(r.getFloat(2) == first(r.getLong(0)), "va is not a's vector")
+      assert(r.getFloat(3) == first(r.getLong(1)), "vb is not b's vector")
+    }
+  }
+
   test("degree-oriented triangle counting equals brute force on hub graphs") {
     val ss = spark
     import ss.implicits._
