@@ -963,8 +963,11 @@ object TextSimOps {
     // exact pair join) — correct everywhere, incremental only on the
     // bitset path.
     "pipe_delta_dedup" -> ((s: SparkSession, d: String) =>
-      deltaJaccardPairs(s, d, TauPct,
-        c => pmod(c, lit(10)) === 0).orderBy("da", "db")),
+      // pinned pre-sort: the sort's bound sampling would re-run the
+      // delta-join probe (the expensive narrow tail); the delta output
+      // is small by construction — the sim_ngram_jaccard trade
+      pin(deltaJaccardPairs(s, d, TauPct,
+        c => pmod(c, lit(10)) === 0)).orderBy("da", "db")),
 
     // Fuzzy string matching via DELETION NEIGHBORHOODS (the SymSpell
     // candidate scheme) — the missing member of the dedup shelf: typo
@@ -1133,6 +1136,15 @@ object TextSimOps {
         .withColumn("ng_inter", interCount(col("ga"), col("gb")))
         .select(col("da"), col("db"), col("ng_inter"),
           (size(col("ga")) + size(col("gb")) - col("ng_inter")).as("ng_uni"))
+        // pin before the global sort: the sort's RangePartitioning
+        // bound-sampling re-runs the narrow tail stage — here the two
+        // gram-attach probes plus the per-pair shingle merge scan, the
+        // key's most expensive stage. The output is candidate-sized
+        // (~19 k rows at sf0.1), so materializing it once is ~free
+        // and the verify never executes twice. (Contrast dedup_minhash,
+        // where the output is 3.9 M rows and the pin measured as a
+        // wash — this trade pays exactly when output ≪ tail compute.)
+        .pinned
         .orderBy("da", "db")
     }),
 

@@ -159,7 +159,10 @@ object TimeOps {
     // interval span (an order of magnitude either way only moves the
     // replication/selectivity trade).
     "join_interval_overlap" -> ((s: SparkSession, d: String) =>
-      overlapPairs(sessionIvals(s, d), HourUs)
+      // pinned pre-sort: the sort's bound sampling re-runs the bucket
+      // join + residual (the expensive narrow tail); qualifying pairs
+      // are selective — the sim_ngram_jaccard trade
+      pin(overlapPairs(sessionIvals(s, d), HourUs))
         .orderBy("ua", "sa", "ub", "sb")))
 
   /** Grid-bucketed interval-overlap self-join over (user_id, sid, s0, s1)
