@@ -634,12 +634,16 @@ object TextSimOps {
           col("uni").cast("double")).as("dist"))
       // Deterministic presentation order. This global sort is now the
       // key's ONLY large exchange (r11 ShuffleProbe: 30 of 31 MiB at
-      // sf0.1 — the candidate+verify stage shuffles 1.2 MiB), and its
-      // RangePartitioning bound-sampling re-runs the final (narrow)
-      // join-probe stage once. Both costs are output-sized and exist
-      // solely for run-to-run determinism of the dumped pair set; a
-      // 100 TB consumer feeding CC / keep-best (keyed consumers) would
-      // drop the orderBy and with it ~95% of the key's shuffle volume.
+      // sf0.1 — the candidate+verify stage shuffles 1.2 MiB); both
+      // costs are output-sized and exist solely for run-to-run
+      // determinism of the dumped pair set; a 100 TB consumer feeding
+      // CC / keep-best (keyed consumers) would drop the orderBy and
+      // with it ~95% of the key's shuffle volume. The pin stops the
+      // sort's RangePartitioning bound-sampling from re-running the
+      // band-join probe (measured 5.36 → 4.33 s median at sf0.1 on
+      // the single-groupBy plan; on the earlier double-planned tree
+      // the same pin was a wash — the fix unmasked it).
+      .pinned
       .orderBy("da", "db")
     val dictOpt = if (forceGeneral(s)) None else bitsetDict(tok)
     dictOpt match {

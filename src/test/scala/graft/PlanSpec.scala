@@ -48,7 +48,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup_minhash candidate join is broadcast (no candidate shuffle)") {
-    val p = plan("dedup_minhash")
+    // the key's own plan ends at the pre-sort pin (r11), so the band
+    // join lives in the candidate frame's plan — assert there
+    val df = operators.TextSimOps.minhashCandAndPairs(spark, sf, 4, 2)._1
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"no broadcast in:\n$p")
   }
 
