@@ -99,10 +99,19 @@ object ScaleProbe {
         operators.TextSimOps.clusterCC(spark, dir, 6, checked = true)
           .count())
       val wCc = write
+      // r11: the banded-MinHash general path (signature + fingerprint
+      // arrays in one groupBy, length-gated band join, array-attach
+      // verify) — the LSH arm's open-vocabulary scaling curve
+      write = 0
+      val (nm, tm) = time(
+        operators.TextSimOps.minhashCandAndPairs(spark, dir, 4, 2)
+          ._2.count())
+      val wMh = write
       spark.conf.unset("spark.graft.sim.forceGeneral")
       println(f"[scale-$mode] k=$k%d docs=${nBase * k}%7d pairs=$np%9d " +
         f"pairs_s=$tp%6.2f pairs_shufMiB=${wPairs / 1048576.0}%7.1f " +
-        f"cc_rows=$nc%6d cc_s=$tc%6.2f cc_shufMiB=${wCc / 1048576.0}%7.1f")
+        f"cc_rows=$nc%6d cc_s=$tc%6.2f cc_shufMiB=${wCc / 1048576.0}%7.1f " +
+        f"mh_pairs=$nm%9d mh_s=$tm%6.2f mh_shufMiB=${wMh / 1048576.0}%7.1f")
     }
     spark.stop()
   }

@@ -25,6 +25,37 @@ class SchemaPreflightSpec extends SparkTestBase {
     }
   }
 
+  test("preflight: a drifted corpus is reported as named one-liners") {
+    // the detection path itself (Verify's canary) — a corpus with a
+    // wrong n_chars, an out-of-enum lang, and a denormalized embedding
+    // must surface each as its own named problem, not a stack trace
+    import org.apache.spark.sql.functions._
+    val dir = "target/fixtures/preflight_drift"
+    val docs = Tables.t(spark, sf, "documents")
+      .withColumn("n_chars",
+        when(col("doc_id") === 3, col("n_chars") + 7)
+          .otherwise(col("n_chars")))
+      .withColumn("lang",
+        when(col("doc_id") === 5, lit("xx")).otherwise(col("lang")))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.t(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.t(spark, sf, "embeddings")
+      .withColumn("embedding",
+        when(col("vec_id") === 2,
+          expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))"))
+          .otherwise(col("embedding")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val problems = Preflight.domainProblems(spark, dir)
+    assert(problems.exists(_.contains("documents.n_chars")), problems)
+    assert(problems.exists(_.contains("documents.lang")), problems)
+    assert(problems.exists(_.contains("not L2-normalized")), problems)
+    assert(problems.size == 3, s"expected exactly 3 problems: $problems")
+    // and a clean corpus reports nothing (already covered per-SF above,
+    // restated here as the negative control for this same code path)
+    assert(Preflight.domainProblems(spark, sf).isEmpty)
+  }
+
   test("preflight: Tables.events normalizes ts_us to epoch-µs BIGINT") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts_us").dataType ==
