@@ -183,6 +183,22 @@ class ExtOpsSpec extends SparkTestBase {
         "the table no longer justifies r=2; re-derive the banding")
   }
 
+  test("GraftOps public wrappers match the shipped keys (r11 exports)") {
+    // the library-surface delegates must stay byte-equal to the keys
+    // they wrap — a silent divergence would ship two behaviors
+    val viaKey = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val viaApi = operators.GraftOps.minhashPairs(spark, sf)._2
+      .collect().map(_.toString).toSeq
+    assert(viaKey == viaApi, "minhashPairs diverges from dedup_minhash")
+    val gKey = SparkEntry.queries("knn_graph_ivf")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val gApi = operators.GraftOps.knnGraphMultiProbe(
+      Tables.t(spark, sf, "embeddings"), 3)
+      .orderBy("node", "rn").collect().map(_.toString).toSeq
+    assert(gKey == gApi, "knnGraphMultiProbe diverges from knn_graph_ivf")
+  }
+
   test("text_simhash: near-identical docs have small hamming distance") {
     // SimHash property probe: a doc vs itself is distance 0 (determinism
     // is covered in DeterminismSpec); distinct docs yield a nonzero spread.
