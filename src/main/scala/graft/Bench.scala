@@ -88,19 +88,23 @@ object Bench {
     // stdout capture truncates (r2/r3 each lost ~19 per-key timings to the
     // tail cut) — persist the full line to a file as well.
     // SPARK_GRAFT_ONLY guard (VERDICT r10 #8): a restricted run must
-    // NEVER overwrite the canonical full-suite record — the r9 failure
-    // mode was a single-key dev run clobbering bench_out.json, which
-    // then shipped as the round's "suite". Partial runs divert to a
-    // side file unless the caller explicitly chose a path.
+    // NEVER write a file NAMED bench_out.json — the r9 failure mode was
+    // a single-key dev run clobbering the canonical full-suite record,
+    // which then shipped as the round's "suite". The guard matches the
+    // BASENAME (./bench_out.json and absolute spellings included) and
+    // applies even to an explicit SPARK_GRAFT_BENCH_OUT: a partial
+    // record under the canonical name is wrong no matter who asked.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.nonEmpty) "bench_only_out.json" else "bench_out.json")
-    if (only.nonEmpty && out == "bench_out.json") {
+    val diverted = only.nonEmpty &&
+      new java.io.File(out).getName == "bench_out.json"
+    val outPath = if (diverted)
+      new java.io.File(new java.io.File(out).getParentFile,
+        "bench_only_out.json").getPath
+    else out
+    if (diverted)
       System.err.println("[bench] refusing to write the canonical " +
-        "bench_out.json from a SPARK_GRAFT_ONLY run; using " +
-        "bench_only_out.json")
-    }
-    val outPath = if (only.nonEmpty && out == "bench_out.json")
-      "bench_only_out.json" else out
+        s"$out from a SPARK_GRAFT_ONLY run; using $outPath")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,7 +64,10 @@ object Preflight {
       "value" -> Set[DataType](DoubleType),
       "ts" -> Set[DataType](LongType, TimestampNTZType, TimestampType)),
     "documents" -> Map("doc_id" -> intish,
-      "text" -> Set[DataType](StringType)),
+      "text" -> Set[DataType](StringType),
+      "lang" -> Set[DataType](StringType),
+      "source" -> Set[DataType](StringType),
+      "n_chars" -> intish),
     "embeddings" -> Map("vec_id" -> intish, "label" -> intish,
       "embedding" -> Set[DataType](
         ArrayType(FloatType, containsNull = true),
@@ -98,45 +101,82 @@ object Preflight {
   }
 
   /** Value domains the operators hard-code (FIXTURES.md): enum columns,
-    * n_chars == length(text), epoch-µs range, embedding geometry. */
+    * n_chars == length(text), epoch-µs range, embedding geometry.
+    * Predicates are NULL-SAFE — a drift that introduces NULLs must
+    * count as drift, and a negated isin/rlike evaluates to NULL on
+    * NULL input, which a bare where() would silently drop. Each check
+    * is individually guarded: one check that cannot even run (its
+    * column is gone) reports itself and never suppresses the others. */
   def domainProblems(spark: SparkSession, sfDir: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    val docs = Tables.t(spark, sfDir, "documents")
-    val badLang = docs.where(!col("lang").isin("en", "de", "es", "fr", "zh"))
-      .count()
-    if (badLang > 0)
-      out += s"documents.lang: $badLang rows outside {en,de,es,fr,zh}"
-    val badSrc = docs.where(!col("source").rlike("^src[0-9]+$")).count()
-    if (badSrc > 0) out += s"documents.source: $badSrc rows not srcN"
-    val badLen = docs.where(col("n_chars") =!= length(col("text"))).count()
-    if (badLen > 0)
-      out += s"documents.n_chars: $badLen rows where n_chars != length(text)"
-    val ev = Tables.events(spark, sfDir)
-    val badType = ev.where(!col("event_type")
-      .isin("click", "view", "purchase", "signup", "error")).count()
-    if (badType > 0)
-      out += s"events.event_type: $badType rows outside the 5-value enum"
-    val tsRange = ev.agg(min("ts_us"), max("ts_us")).head()
-    val (mn, mx) = (tsRange.getLong(0), tsRange.getLong(1))
-    if (mn < 1500000000000000L || mx > 2500000000000000L)
-      out += s"events.ts_us: range [$mn, $mx] outside epoch-µs sanity band"
-    val emb = Tables.t(spark, sfDir, "embeddings")
-    val badDim = emb.where(size(col("embedding")) =!= 64).count()
-    if (badDim > 0)
-      out += s"embeddings.embedding: $badDim rows with dim != 64 " +
-        "(seeded SRP/IVF geometry is 64-dim)"
-    val badNorm = emb.where(abs(sqrt(aggregate(col("embedding"), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double"))) - 1.0d)
-      > lit(1e-3)).count()
-    if (badNorm > 0)
-      out += s"embeddings.embedding: $badNorm rows not L2-normalized " +
-        "(dot != cosine)"
-    val badLabel = emb.where(col("label") < 0 || col("label") > 9).count()
-    if (badLabel > 0) out += s"embeddings.label: $badLabel rows outside 0..9"
+    def bad(c: Column): Column = coalesce(c, lit(true)) // NULL = drift
+    def check(label: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        out += s"$label: check could not run (${e.getClass.getSimpleName}" +
+          s": ${Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString})"
+      }
+    check("documents") {
+      val docs = Tables.t(spark, sfDir, "documents")
+      val badLang = docs
+        .where(bad(!col("lang").isin("en", "de", "es", "fr", "zh"))).count()
+      if (badLang > 0)
+        out += s"documents.lang: $badLang rows outside {en,de,es,fr,zh}"
+      val badSrc = docs.where(bad(!col("source").rlike("^src[0-9]+$")))
+        .count()
+      if (badSrc > 0) out += s"documents.source: $badSrc rows not srcN"
+      val badLen = docs.where(!(col("n_chars") <=> length(col("text"))))
+        .count()
+      if (badLen > 0)
+        out += s"documents.n_chars: $badLen rows where n_chars != length(text)"
+    }
+    check("events") {
+      val ev = Tables.events(spark, sfDir)
+      val badType = ev.where(bad(!col("event_type")
+        .isin("click", "view", "purchase", "signup", "error"))).count()
+      if (badType > 0)
+        out += s"events.event_type: $badType rows outside the 5-value enum"
+      val tsRange = ev.agg(min("ts_us"), max("ts_us")).head()
+      if (tsRange.isNullAt(0)) out += "events: table is empty"
+      else {
+        val (mn, mx) = (tsRange.getLong(0), tsRange.getLong(1))
+        if (mn < 1500000000000000L || mx > 2500000000000000L)
+          out += s"events.ts_us: range [$mn, $mx] outside epoch-µs sanity band"
+      }
+    }
+    check("embeddings") {
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val badDim = emb.where(bad(size(col("embedding")) =!= 64)).count()
+      if (badDim > 0)
+        out += s"embeddings.embedding: $badDim rows with dim != 64 " +
+          "(seeded SRP/IVF geometry is 64-dim)"
+      val badNorm = emb.where(bad(abs(sqrt(aggregate(col("embedding"),
+        lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        - 1.0d) > lit(1e-3))).count()
+      if (badNorm > 0)
+        out += s"embeddings.embedding: $badNorm rows not L2-normalized " +
+          "(dot != cosine)"
+      val badLabel = emb
+        .where(bad(col("label") < 0 || col("label") > 9)).count()
+      if (badLabel > 0)
+        out += s"embeddings.label: $badLabel rows outside 0..9"
+    }
     out.toSeq
   }
 
-  def problems(spark: SparkSession, sfDir: String): Seq[String] =
-    schemaProblems(spark, sfDir) ++ rowCountProblems(spark, sfDir) ++
-      domainProblems(spark, sfDir)
+  /** Every named drift the three sections can produce, each section
+    * independently guarded — a section that throws (e.g. a table whose
+    * read itself fails) contributes one problem line instead of
+    * discarding the named lines the other sections already computed. */
+  def problems(spark: SparkSession, sfDir: String): Seq[String] = {
+    def section(label: String)(f: => Seq[String]): Seq[String] =
+      try f catch { case e: Throwable =>
+        Seq(s"$label checks could not run (${e.getClass.getSimpleName}" +
+          s": ${Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString})")
+      }
+    section("schema")(schemaProblems(spark, sfDir)) ++
+      section("row-count")(rowCountProblems(spark, sfDir)) ++
+      section("domain")(domainProblems(spark, sfDir))
+  }
 }

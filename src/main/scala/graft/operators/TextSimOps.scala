@@ -678,19 +678,25 @@ object TextSimOps {
           .select(col("doc_id") +: col("wh") +: col("c") +: bkExprs: _*)
           .pinned
         val (xa, yb) = sides(keyed.drop("wh"), Seq("c"))
-        // length gate inline: prunes candidates BEFORE the array attach
-        val joined = xa.join(yb, bandEq &&
-          lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
-          lit(100) * col("cb") >= lit(tauPct) * col("ca"))
-        val cand = joined.select(col("da"), col("db"),
-          col("ca"), col("cb"))
-        val pairs = cand
+        val joined = xa.join(yb, bandEq)
+        // candidates = raw first-band collisions, IDENTICAL in meaning
+        // to the bitset arm (r11 review: the sensitivity table and
+        // GraftOps.minhashPairs compare candidate counts across paths,
+        // so the definition must not depend on the dispatch); the
+        // length gate then prunes BEFORE the array attach as a fused
+        // post-join filter — same plan cost as an in-join conjunct
+        val cand = joined.select(col("da"), col("db"))
+        val gated = joined
+          .where(lit(100) * col("ca") >= lit(tauPct) * col("cb") &&
+            lit(100) * col("cb") >= lit(tauPct) * col("ca"))
+          .select(col("da"), col("db"), col("ca"), col("cb"))
+        val pairs = gated
           .join(keyed.select(col("doc_id").as("da"), col("wh").as("wa")),
             "da")
           .join(keyed.select(col("doc_id").as("db"), col("wh").as("wb")),
             "db")
           .withColumn("inter", interCount(col("wa"), col("wb")))
-        (cand.select(col("da"), col("db")), finish(pairs))
+        (cand, finish(pairs))
     }
   }
 

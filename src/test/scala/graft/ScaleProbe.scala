@@ -53,7 +53,12 @@ object ScaleProbe {
     })
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — drain before the caller snapshots
+      // or resets the byte counters, or tail task-end events are lost
+      // / attributed to the next phase (r11 review finding)
+      Thread.sleep(500)
+      (r, dt)
     }
     val docs = Tables.t(spark, base, "documents")
     val nBase = docs.count()
