@@ -111,7 +111,7 @@ object Preflight {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     def bad(c: Column): Column = coalesce(c, lit(true)) // NULL = drift
     def check(label: String)(f: => Unit): Unit =
-      try f catch { case e: Throwable =>
+      try f catch { case scala.util.control.NonFatal(e) =>
         out += s"$label: check could not run (${e.getClass.getSimpleName}" +
           s": ${Option(e.getMessage).getOrElse("").linesIterator
             .take(1).mkString})"
@@ -125,7 +125,9 @@ object Preflight {
       val badSrc = docs.where(bad(!col("source").rlike("^src[0-9]+$")))
         .count()
       if (badSrc > 0) out += s"documents.source: $badSrc rows not srcN"
-      val badLen = docs.where(!(col("n_chars") <=> length(col("text"))))
+      // =!= is NULL on a NULL side, so bad() counts it as drift —
+      // including the both-NULL row a null-safe <=> would call equal
+      val badLen = docs.where(bad(col("n_chars") =!= length(col("text"))))
         .count()
       if (badLen > 0)
         out += s"documents.n_chars: $badLen rows where n_chars != length(text)"
@@ -170,7 +172,7 @@ object Preflight {
     * discarding the named lines the other sections already computed. */
   def problems(spark: SparkSession, sfDir: String): Seq[String] = {
     def section(label: String)(f: => Seq[String]): Seq[String] =
-      try f catch { case e: Throwable =>
+      try f catch { case scala.util.control.NonFatal(e) =>
         Seq(s"$label checks could not run (${e.getClass.getSimpleName}" +
           s": ${Option(e.getMessage).getOrElse("").linesIterator
             .take(1).mkString})")

@@ -36,21 +36,30 @@ object Tables {
     * re-resolves. The corpus is read-only (TESTDATA.md); anything
     * engine-written goes through the sources/IngestOps readers, never
     * this registry. */
-  private val leafMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+  // WeakHashMap keyed by session: entries die with the session instead
+  // of pinning stopped SparkContexts for the JVM lifetime (r11 review).
+  // All access synchronizes on the map itself.
+  private val leafMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     def read() = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
-    // Memoize ONLY the read-only corpus root: a parquet read freezes
-    // its file listing (InMemoryFileIndex), so memoizing a dir that a
-    // probe or test later OVERWRITES would serve deleted part files.
-    // Synthetic probe corpora (/tmp) and test fixtures (target/) are
-    // exactly those dirs — always re-resolve them.
-    if (sfDir.startsWith("/root/testdata"))
-      leafMemo.computeIfAbsent((spark, sfDir, name), _ => read())
+    // Memoize ONLY the read-only corpus root (trailing slash: sibling
+    // dirs like /root/testdata_scratch must NOT match): a parquet read
+    // freezes its file listing (InMemoryFileIndex), so memoizing a dir
+    // that a probe or test later OVERWRITES would serve deleted part
+    // files. Synthetic probe corpora (/tmp) and test fixtures
+    // (target/) are exactly those dirs — always re-resolve them.
+    if (sfDir.stripSuffix("/").startsWith("/root/testdata/") ||
+        sfDir.stripSuffix("/") == "/root/testdata")
+      leafMemo.synchronized {
+        leafMemo.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+          .getOrElseUpdate((sfDir, name), read())
+      }
     else read()
   }
 
@@ -83,16 +92,21 @@ object Tables {
     * deployment — 10 footer reads + analysis measured 0.73 s at sf0.1,
     * ~40% of the sql_surface key). A different sfDir re-registers (the
     * views are overwritten), and the memo tracks that switch. */
-  private val registeredSf =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val registeredSf = new java.util.WeakHashMap[SparkSession, String]()
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredSf.get(spark) != sfDir) {
-      AllTables.foreach { n =>
-        val df = if (n == "events") events(spark, sfDir)
-          else t(spark, sfDir, n)
-        df.createOrReplaceTempView(n)
+    // atomic check-register-record: two concurrent callers with
+    // different sfDirs must not interleave registrations (a mixed-
+    // corpus catalog recorded as 'registered' would be permanent —
+    // r11 review); the lock serializes the whole view swap
+    registeredSf.synchronized {
+      if (registeredSf.get(spark) != sfDir) {
+        AllTables.foreach { n =>
+          val df = if (n == "events") events(spark, sfDir)
+            else t(spark, sfDir, n)
+          df.createOrReplaceTempView(n)
+        }
+        registeredSf.put(spark, sfDir)
       }
-      registeredSf.put(spark, sfDir)
     }
 
   /** Pin an iteratively-reused frame (lineage truncation for the CC /

@@ -1151,9 +1151,10 @@ object TextSimOps {
         // gram-attach probes plus the per-pair shingle merge scan, the
         // key's most expensive stage. The output is candidate-sized
         // (~19 k rows at sf0.1), so materializing it once is ~free
-        // and the verify never executes twice. (Contrast dedup_minhash,
-        // where the output is 3.9 M rows and the pin measured as a
-        // wash — this trade pays exactly when output ≪ tail compute.)
+        // and the verify never executes twice. (dedup_minhash pins
+        // too, since its single-groupBy rewrite — DESIGN §14.3 has the
+        // per-key A/B table; the trade pays most when output ≪ tail
+        // compute, as here.)
         .pinned
         .orderBy("da", "db")
     }),

@@ -104,9 +104,11 @@ object ScaleProbe {
         operators.TextSimOps.clusterCC(spark, dir, 6, checked = true)
           .count())
       val wCc = write
-      // r11: the banded-MinHash general path (signature + fingerprint
-      // arrays in one groupBy, length-gated band join, array-attach
-      // verify) — the LSH arm's open-vocabulary scaling curve
+      // r11: the banded-MinHash arm THE MODE SELECTS — under `open`
+      // (forceGeneral above) the general path (signature + fingerprint
+      // arrays in one groupBy, length-gated array-attach verify), the
+      // curve DESIGN §12.1 publishes; under `closed` the bitset arm.
+      // Label mh_ rows by the mode when reading them into tables.
       write = 0
       val (nm, tm) = time(
         operators.TextSimOps.minhashCandAndPairs(spark, dir, 4, 2)
