@@ -269,6 +269,33 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Higher central moments — skewness and excess kurtosis — closing
+    // the exact-stats shelf (count/sum/var → covar/corr → 3rd/4th
+    // moments). Same discipline as agg_corr_exact, one order higher:
+    // the shuffle carries EXACT integer power sums Σx..Σx⁴ (x =
+    // l_quantity is integral by construction, so BIGINT sums are
+    // merge-order exact; builtin skewness()/kurtosis() are
+    // partition-order-dependent double folds — un-oracle-able), and
+    // the double-typed finish is ONE shared expression string
+    // ([[momentSkewSql]]/[[momentKurtSql]]) that both engines parse
+    // into the identical IEEE op tree. At 100 TB the plan is the ideal
+    // shape already: 2-phase agg, 6 numbers per group through the
+    // shuffle; only the sums' width changes (BIGINT → DECIMAL(38,0)
+    // once Σx⁴ can exceed 2⁶³ ≈ 10¹⁸·9, i.e. ~10¹² rows at x ≤ 50).
+    "agg_moments" -> ((s: SparkSession, d: String) => {
+      val x = col("l_quantity").cast("long")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          col("s1"), col("s2"), col("s3"), col("s4"),
+          round6(expr(momentSkewSql)).as("skew"),
+          round6(expr(momentKurtSql)).as("kurt"))
+        .orderBy("l_returnflag")
+    }),
+
     // Latest-row-per-key (argmax) without a window: max over a struct
     // whose leading fields are the order (date, unique orderkey) compares
     // lexicographically, so one 2-phase hash aggregate — partial maxes
@@ -311,6 +338,23 @@ object AggOps {
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_f"), col("sum_o")), "status", "sum_price")
         .orderBy("l_returnflag", "status")))
+
+  /** agg_moments finish, shared VERBATIM by the Spark expr and the
+    * DuckDB oracle so both engines parse the identical IEEE double op
+    * tree over the exact integer inputs (n, s1..s4). Every operand is
+    * either an exactly-representable integer cast (< 2⁵³) or a prior
+    * double; sqrt is correctly rounded in both engines; pow is avoided
+    * (m2^1.5 = m2·sqrt(m2), m2² = m2·m2) because libm pow is not. */
+  private val mMean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val mOver = (k: Int) => s"(CAST(s$k AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val mM2 = s"(${mOver(2)} - $mMean * $mMean)"
+  private val mM3 = s"(${mOver(3)} - 3.0 * $mMean * ${mOver(2)} + " +
+    s"2.0 * $mMean * $mMean * $mMean)"
+  private val mM4 = s"(${mOver(4)} - 4.0 * $mMean * ${mOver(3)} + " +
+    s"6.0 * $mMean * $mMean * ${mOver(2)} - " +
+    s"3.0 * $mMean * $mMean * $mMean * $mMean)"
+  private[graft] val momentSkewSql = s"$mM3 / ($mM2 * sqrt($mM2))"
+  private[graft] val momentKurtSql = s"$mM4 / ($mM2 * $mM2) - 3.0"
 
   val oracle: Map[String, String] = Map(
     "agg_bitmap_distinct" ->
@@ -371,6 +415,19 @@ object AggOps {
         oRound6("CAST(n * sxy - sx * sy AS DOUBLE) / " +
           "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
           "sqrt(CAST(n * syy - sy * sy AS DOUBLE)))") + " AS corr " +
+        "FROM s ORDER BY l_returnflag"),
+    "agg_moments" ->
+      ("WITH x AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x " +
+        "FROM lineitem), " +
+        "s AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS s1, " +
+        "CAST(sum(x * x) AS BIGINT) AS s2, " +
+        "CAST(sum(x * x * x) AS BIGINT) AS s3, " +
+        "CAST(sum(x * x * x * x) AS BIGINT) AS s4 " +
+        "FROM x GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, s1, s2, s3, s4, " +
+        oRound6(momentSkewSql) + " AS skew, " +
+        oRound6(momentKurtSql) + " AS kurt " +
         "FROM s ORDER BY l_returnflag"),
     "agg_argmax" ->
       ("SELECT o_custkey, o_orderdate AS last_date, " +

@@ -44,6 +44,36 @@ object FnOps {
         md5(concat_ws("|", col("p_brand"), col("p_type"))).as("h_comp"))
         .orderBy("p_partkey")),
 
+    // URL family — the web-corpus curation staple (domain-level
+    // filtering, per-site dedup, registered-domain rollups all start
+    // here). URLs derived deterministically from the documents table
+    // (corpus has no URL column), then parsed with Hive parse_url
+    // semantics: protocol, host, path, one query param, plus the
+    // registered domain (last two host labels via substring_index —
+    // the eTLD+1 approximation a real pipeline backs with the public
+    // suffix list). All per-row codegen'd string ops, no shuffle
+    // beyond the output sort; the DuckDB mirror parses the SAME url
+    // string with anchored regexes, so the compare exercises parsing,
+    // not re-derivation from the inputs.
+    "fn_url" -> ((s: SparkSession, d: String) => {
+      val urlCol = concat(lit("https://"), col("lang"),
+        pmod(col("doc_id"), lit(3)).cast("string"), lit("."),
+        col("source"), lit(".org/"), col("lang"), lit("/doc/"),
+        col("doc_id").cast("string"),
+        lit("?ref="), pmod(col("doc_id"), lit(13)).cast("string"),
+        lit("&v="), pmod(col("doc_id"), lit(7)).cast("string"))
+      t(s, d, "documents")
+        .withColumn("url", urlCol)
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("q_ref"),
+          substring_index(expr("parse_url(url, 'HOST')"), ".", -2)
+            .as("domain"))
+        .orderBy("doc_id")
+    }),
+
     "fn_date" -> ((s: SparkSession, d: String) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
@@ -139,6 +169,20 @@ object FnOps {
       ("SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256, " +
         "md5(p_brand || '|' || p_type) AS h_comp " +
         "FROM part ORDER BY p_partkey"),
+    "fn_url" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || lang || " +
+        "CAST(doc_id % 3 AS VARCHAR) || '.' || source || '.org/' || " +
+        "lang || '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=' || " +
+        "CAST(doc_id % 13 AS VARCHAR) || '&v=' || " +
+        "CAST(doc_id % 7 AS VARCHAR) AS url FROM documents), " +
+        "p AS (SELECT doc_id, url, " +
+        "regexp_extract(url, '^([a-z]+)://', 1) AS proto, " +
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS q_ref FROM u) " +
+        "SELECT doc_id, url, proto, host, path, q_ref, " +
+        "regexp_extract(host, '[^.]+\\.[^.]+$', 0) AS domain " +
+        "FROM p ORDER BY doc_id"),
     "fn_date" ->
       ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon, " +
         "CAST(year(o_orderdate) AS INTEGER) AS yr, " +

@@ -139,6 +139,31 @@ object GraphOps {
     // near-complete (20k parts, ~10⁶ edges at sf0.1 — wedge work ~10⁸),
     // which benchmarks corpus density, not the operator; the plan is
     // identical at any subset rate including 1.
+    "graph_common_neighbors" -> ((s: SparkSession, d: String) => {
+      // Link prediction by common-neighbor count — the standard
+      // first-order score (Liben-Nowell & Kleinberg 2003): for every
+      // supplier pair, how many parts both touch in the bipartite
+      // supplier→part edge set; top-50 candidate links by score. The
+      // plan is the POSTINGS shape shared with the text-sim family:
+      // one equi-join on the shared neighbor v (never supplier ×
+      // supplier), one 2-phase pair count — pair work is Σ deg(v)²,
+      // v-degree capped by the same deterministic 1/5 order subset as
+      // graph_triangle_count (full-corpus v-degrees benchmark density,
+      // not the operator). At 100 TB a hot v is prefix-capped exactly
+      // like a stop-token in sim_jaccard_pairs (df-ordered prefix
+      // filter, TextSimOps): truncating the hottest neighbor lists
+      // bounds the quadratic term with a quantified score floor.
+      val e = t(s, d, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(5)) === 0)
+        .select(col("l_suppkey").as("u"), col("l_partkey").as("v"))
+        .distinct()
+      e.select(col("u").as("u1"), col("v"))
+        .join(e.select(col("u").as("u2"), col("v")), "v")
+        .where(col("u1") < col("u2"))
+        .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("cn"))
+        .orderBy(col("cn").desc, col("u1"), col("u2")).limit(50)
+    }),
+
     "graph_triangle_count" -> ((s: SparkSession, d: String) => {
       val lp = t(s, d, "lineitem")
         .where(pmod(col("l_orderkey"), lit(5)) === 0)
@@ -204,6 +229,12 @@ object GraphOps {
         "FROM lineitem), " +
         "d AS (SELECT v, count(*) AS deg FROM e GROUP BY 1) " +
         "SELECT deg, count(*) AS nodes FROM d GROUP BY 1 ORDER BY deg"),
+    "graph_common_neighbors" ->
+      ("WITH e AS (SELECT DISTINCT l_suppkey AS u, l_partkey AS v " +
+        "FROM lineitem WHERE l_orderkey % 5 = 0) " +
+        "SELECT a.u AS u1, b.u AS u2, count(*) AS cn " +
+        "FROM e a JOIN e b ON a.v = b.v AND a.u < b.u " +
+        "GROUP BY 1, 2 ORDER BY cn DESC, u1, u2 LIMIT 50"),
     "graph_triangle_count" ->
       ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
         "FROM lineitem WHERE l_orderkey % 5 = 0), " +

@@ -34,6 +34,7 @@ import graft.Tables._
   */
 object PipelineOps {
   private val SplitMod = 1009 // prime << doc-id range; no 64-bit overflow
+  private val DayUs2 = 86400L * 1000000L // epoch-µs day (sample_split_time)
   private val TopKPerLang = 100
   private val QualityGate = 0.5
   private val SamplePerLang = 50
@@ -110,6 +111,31 @@ object PipelineOps {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "split")),
+
+    // Temporal train/test split with an EMBARGO gap — the leakage-safe
+    // evaluation split for anything time-ordered (forecasting,
+    // recommendation, market data: de Prado's purged split): train is
+    // everything before the cut, test starts one full day AFTER it,
+    // and the embargo day between absorbs label/feature windows that
+    // straddle the boundary. The cut is data-derived (min ts + 21 d)
+    // so the key is reingestion-stable on a growing log; all
+    // arithmetic is epoch-µs integers. Plan: one 1-row global min
+    // broadcast-attached, then a map-side CASE and a 3-group agg —
+    // corpus crosses the wire once at 100 TB; the distinct-user count
+    // is the only Expand, and it is 3-group bounded.
+    "sample_split_time" -> ((s: SparkSession, d: String) => {
+      val e = events(s, d).select(col("user_id"), col("ts_us"))
+      e.crossJoin(broadcast(e.agg(min(col("ts_us")).as("t0"))))
+        .withColumn("split",
+          when(col("ts_us") < col("t0") + lit(21L * DayUs2), "train")
+            .when(col("ts_us") < col("t0") + lit(22L * DayUs2), "embargo")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+        .orderBy("split")
+    }),
 
     // Deterministic stratified sampling: exactly K docs per language,
     // chosen by md5-of-id rank — the scale-safe reservoir equivalent.
@@ -485,6 +511,15 @@ object PipelineOps {
         s"THEN 'train' WHEN ((doc_id % $SplitMod) * 31 + 7) % 100 < 90 " +
         "THEN 'val' ELSE 'test' END AS split, count(*) AS cnt " +
         "FROM documents GROUP BY 1, 2 ORDER BY lang, split"),
+    "sample_split_time" ->
+      (s"WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events), " +
+        "b AS (SELECT min(ts_us) AS t0 FROM e) " +
+        s"SELECT CASE WHEN ts_us < t0 + ${21L * DayUs2} THEN 'train' " +
+        s"WHEN ts_us < t0 + ${22L * DayUs2} THEN 'embargo' " +
+        "ELSE 'test' END AS split, count(*) AS n_rows, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "min(ts_us) AS min_us, max(ts_us) AS max_us " +
+        "FROM e, b GROUP BY 1 ORDER BY split"),
     "sample_stratified" ->
       ("SELECT lang, doc_id, h FROM (SELECT lang, doc_id, " +
         "md5(CAST(doc_id AS VARCHAR)) AS h, row_number() OVER " +

@@ -158,4 +158,85 @@ class NewOpsSpec extends SparkTestBase {
         expected.get(k) != got.get(k))}")
     assert(packs.where(col("first_doc") > col("last_doc")).count() == 0)
   }
+
+  test("agg_moments matches a double-precision reference per group") {
+    // independent formulation: collect the raw quantities and compute
+    // skewness / excess kurtosis directly in Scala doubles; the
+    // shipped integer-power-sum finish must agree to ~1e-9 (identical
+    // inputs, algebraically equal expressions)
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = SparkEntry.queries("agg_moments")(spark, sf).collect()
+    assert(out.length == xs.size)
+    out.foreach { r =>
+      val v = xs(r.getString(0))
+      val n = v.length.toDouble
+      val mean = v.sum / n
+      val m2 = v.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = v.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = v.map(x => math.pow(x - mean, 4)).sum / n
+      assert(r.getLong(1) == v.length)
+      assert(math.abs(r.getDouble(6) - m3 / (m2 * math.sqrt(m2))) < 1e-6,
+        s"${r.getString(0)}: skew ${r.getDouble(6)}")
+      assert(math.abs(r.getDouble(7) - (m4 / (m2 * m2) - 3.0)) < 1e-6,
+        s"${r.getString(0)}: kurt ${r.getDouble(7)}")
+    }
+  }
+
+  test("fn_url: parsed fields recompose the url; domain is eTLD+1-shaped") {
+    val out = SparkEntry.queries("fn_url")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(url, proto, host, path, qref, dom) =
+        (1 to 6).map(r.getString)
+      assert(url.startsWith(s"$proto://$host$path?"),
+        s"$url !~ $proto://$host$path")
+      assert(url.contains(s"?ref=$qref&"), s"$url: q_ref $qref")
+      assert(host.endsWith(s".$dom") && dom.count(_ == '.') == 1,
+        s"host $host domain $dom")
+    }
+  }
+
+  test("graph_common_neighbors matches brute force at sf0.001") {
+    val edges = Tables.t(spark, sf, "lineitem")
+      .where(col("l_orderkey") % 5 === 0)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byPart = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val brute = collection.mutable.Map.empty[(Long, Long), Long]
+    byPart.values.foreach { supps =>
+      val s = supps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        brute((s(i), s(j))) = brute.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val expect = brute.toSeq.map { case ((a, b), c) => (c, a, b) }
+      .sortBy { case (c, a, b) => (-c, a, b) }.take(50)
+      .map { case (c, a, b) => (a, b, c) }
+    val got = SparkEntry.queries("graph_common_neighbors")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"top-50 diverges: got ${got.take(3)} " +
+      s"expect ${expect.take(3)}")
+  }
+
+  test("sample_split_time: splits partition the log, boundaries ordered") {
+    val out = SparkEntry.queries("sample_split_time")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val total = Tables.events(spark, sf).count()
+    assert(out.values.map(_._1).sum == total,
+      s"split rows ${out.values.map(_._1).sum} != corpus $total")
+    // temporal ordering with the embargo day strictly between:
+    // max(train) < min(embargo) ≤ max(embargo) < min(test), and the
+    // embargo day absorbs exactly [t0+21d, t0+22d)
+    for (tr <- out.get("train"); te <- out.get("test")) {
+      assert(tr._4 < te._3, s"train max ${tr._4} !< test min ${te._3}")
+      out.get("embargo").foreach { em =>
+        assert(tr._4 < em._3 && em._4 < te._3, "embargo not between")
+        assert(te._3 - tr._4 >= 86400L * 1000000L - (em._4 - em._3 + 1),
+          "gap narrower than the embargo day")
+      }
+    }
+  }
 }
