@@ -233,11 +233,13 @@ class PlanSpec extends SparkTestBase {
     //  - etl_fk_audit: 1×1 broadcast joins of the per-relationship
     //    1-row count aggregates (child stats × orphan count) — every
     //    BNLJ side is a single scalar row by construction
+    //  - sample_split_time: 1×N broadcast of the 1-row global-min
+    //    aggregate (the temporal cut t0) onto the event log
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "knn_graph_ivf",
       "agg_heavy_hitters", "text_lm_score", "text_tfidf_top",
       "pipe_dataset_card", "search_rrf_hybrid", "pipe_mix_temperature",
-      "etl_fk_audit")
+      "etl_fk_audit", "sample_split_time")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
