@@ -296,6 +296,65 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Per-group simple OLS (y = l_extendedprice on x = l_quantity) —
+    // slope / intercept / r², the grouped regression a feature-quality
+    // or drift-monitoring pipeline runs per segment. Same exact-sums
+    // discipline as agg_corr_exact: the shuffle carries exact
+    // DECIMAL(18,2) sums (n, Σx, Σy, Σxy, Σx², Σy² — 6 numbers per
+    // group, 2-phase hash agg), and every double-typed finish is ONE
+    // expression string ([[linregSlopeSql]] etc.) shared verbatim with
+    // the oracle so both engines evaluate the identical IEEE op tree
+    // over identical exact inputs. Built-in regr_slope/regr_intercept
+    // are partition-order double folds — un-oracle-able by design.
+    "agg_linreg" -> ((s: SparkSession, d: String) => {
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round6(expr(linregSlopeSql)).as("slope"),
+          round6(expr(linregInterceptSql)).as("intercept"),
+          round6(expr(linregR2Sql)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Robust location/scale per group: median + MAD (median absolute
+    // deviation) + max robust z-score — the outlier-resistant
+    // complement to agg_stats_exact's mean/stddev (one corrupt value
+    // moves the mean arbitrarily; it moves the median not at all).
+    // Exactness: values go through cents-scaled BIGINT, so percentile's
+    // (1-f)·lo + f·hi interpolation lands on exactly-representable
+    // doubles (integers and .5/.25 steps < 2⁵³) and both engines emit
+    // identical bits. Two passes: (1) per-group exact median, (2) the
+    // group-count-sized median dim broadcast back, deviations
+    // aggregated. Scale note: exact percentile buffers each group's
+    // values on one reducer — the contract of an EXACT robust stat; at
+    // 100 TB per-group cardinality, swap to agg_approx_percentile's
+    // mergeable-sketch path (same two-pass shape, bounded memory).
+    "agg_mad" -> ((s: SparkSession, d: String) => {
+      val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag"), xc.as("xc"))
+      val med = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(xc, 0.5)").as("med"))
+      base.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("med"),
+          abs(col("xc").cast("double") - col("med")).as("dev"))
+        .groupBy(col("l_returnflag"), col("n"), col("med"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"),
+          max(col("dev")).as("maxdev"))
+        .select(col("l_returnflag"), col("n"),
+          round6(col("med") / 100.0).as("median"),
+          round6(col("mad") / 100.0).as("mad"),
+          round6(expr("maxdev / (1.4826 * mad)")).as("max_robust_z"))
+        .orderBy("l_returnflag")
+    }),
+
     // Latest-row-per-key (argmax) without a window: max over a struct
     // whose leading fields are the order (date, unique orderkey) compares
     // lexicographically, so one 2-phase hash aggregate — partial maxes
@@ -355,6 +414,21 @@ object AggOps {
     s"3.0 * $mMean * $mMean * $mMean * $mMean)"
   private[graft] val momentSkewSql = s"$mM3 / ($mM2 * sqrt($mM2))"
   private[graft] val momentKurtSql = s"$mM4 / ($mM2 * $mM2) - 3.0"
+
+  /** agg_linreg finishes, shared VERBATIM with the oracle (same
+    * discipline as [[momentSkewSql]]): the decimal sums n·sxy − sx·sy
+    * etc. are EXACT (decimal arithmetic, no rounding at these
+    * magnitudes), so casting each to double and dividing is one IEEE
+    * op both engines round identically. r² squares AFTER the double
+    * cast — squaring the decimal first could exceed precision 38. */
+  private val lrNum = "CAST(n * sxy - sx * sy AS DOUBLE)"
+  private val lrDenX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+  private val lrDenY = "CAST(n * syy - sy * sy AS DOUBLE)"
+  private[graft] val linregSlopeSql = s"$lrNum / $lrDenX"
+  private[graft] val linregInterceptSql =
+    s"(CAST(sy AS DOUBLE) - ($linregSlopeSql) * CAST(sx AS DOUBLE)) / " +
+      "CAST(n AS DOUBLE)"
+  private[graft] val linregR2Sql = s"($lrNum * $lrNum) / ($lrDenX * $lrDenY)"
 
   val oracle: Map[String, String] = Map(
     "agg_bitmap_distinct" ->
@@ -428,6 +502,39 @@ object AggOps {
         "SELECT l_returnflag, n, s1, s2, s3, s4, " +
         oRound6(momentSkewSql) + " AS skew, " +
         oRound6(momentKurtSql) + " AS kurt " +
+        "FROM s ORDER BY l_returnflag"),
+    "agg_linreg" ->
+      ("WITH s AS (SELECT l_returnflag, count(*) AS n, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2))) AS sxx, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        oRound6(linregSlopeSql) + " AS slope, " +
+        oRound6(linregInterceptSql) + " AS intercept, " +
+        oRound6(linregR2Sql) + " AS r2 " +
+        "FROM s ORDER BY l_returnflag"),
+    "agg_mad" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS xc FROM lineitem), " +
+        "m AS (SELECT l_returnflag, count(*) AS n, " +
+        "quantile_cont(xc, 0.5) AS med FROM b GROUP BY l_returnflag), " +
+        "dv AS (SELECT b.l_returnflag, n, med, " +
+        "abs(CAST(xc AS DOUBLE) - med) AS dev " +
+        "FROM b JOIN m ON b.l_returnflag = m.l_returnflag), " +
+        "s AS (SELECT l_returnflag, n, med, " +
+        "quantile_cont(dev, 0.5) AS mad, max(dev) AS maxdev " +
+        "FROM dv GROUP BY l_returnflag, n, med) " +
+        "SELECT l_returnflag, n, " +
+        oRound6("med / 100.0") + " AS median, " +
+        oRound6("mad / 100.0") + " AS mad, " +
+        oRound6("maxdev / (1.4826 * mad)") + " AS max_robust_z " +
         "FROM s ORDER BY l_returnflag"),
     "agg_argmax" ->
       ("SELECT o_custkey, o_orderdate AS last_date, " +

@@ -162,6 +162,23 @@ object GraftOps {
     TextSimOps.clusterCC(spark, sfDir, rounds, checked)
   }
 
+  /** Generic min-label connected components over an arbitrary
+    * undirected pair set `pairs(a, b)` and node set `nodes(v)` (r11:
+    * [[connectedComponents]]'s propagation core promoted to a public
+    * edge-list API — the `graph_cc` key runs exactly this). Returns
+    * `(v, l)` with l = the component's min node id, unsorted. Same
+    * rounds-vs-diameter contract and `checked` guard semantics as
+    * [[connectedComponents]] (see its scaladoc). */
+  def connectedComponentsOf(nodes: DataFrame, pairs: DataFrame,
+      rounds: Int = 6, checked: Boolean = true): DataFrame = {
+    require(rounds >= 1, "rounds must be ≥ 1")
+    require(nodes.columns.toSeq == Seq("v"),
+      "nodes must have exactly column (v)")
+    require(pairs.columns.toSeq == Seq("a", "b"),
+      "pairs must have exactly columns (a, b)")
+    GraphOps.ccCore(nodes, pairs, rounds, checked, "connectedComponentsOf")
+  }
+
   /** Changelog between two keyed snapshots `(k, p)` → rows
     * `(o_orderkey, change ∈ D/I/U, old_p, new_p)`, unchanged keys
     * dropped — the inverse of CDC apply (how a lake without a native

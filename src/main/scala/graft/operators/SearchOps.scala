@@ -40,6 +40,51 @@ object SearchOps {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   val queries: Map[String, QFn] = Map(
+    // BM25 ranking (Robertson et al.) — the lexical retriever upgraded
+    // from search_rrf_hybrid's flat IDF to the production scorer: tf
+    // saturation (k1) and document-length normalization (b). Query =
+    // document 0's token set, results exclude doc 0. ALL-INTEGER so the
+    // key is hash-oracle-able: k1 = 1.2 / b = 0.75 enter as the scaled
+    // pairs (1200, 750, scale 1000); dl/avgdl is the EXACT rational
+    // dl·N div Σdl (never a double average); idf = (10⁶·N) div df (the
+    // log-free monotone IDF of text_tfidf_top — same ranking order, no
+    // libm); term score = (idf·tf·2200) div (1000·tf + (1200·norm)
+    // div 1000), norm = 250 + (750·dl·N) div Σdl. Plan shape: the tf
+    // postings are built once and pinned (referenced by df, dl, the
+    // query row, and the scoring join); idf and the query tokens are
+    // vocabulary-/query-sized broadcasts; the per-doc norm attaches by
+    // keyed equi-join (corpus-count-sized — NEVER broadcast at 100 TB);
+    // the final top-20 is a TakeOrdered, not a global sort. Overflow
+    // headroom: idf·tf·2200 ≤ 10⁶·N·dl·2200 — fits BIGINT to N ≈ 10⁹
+    // docs at dl ≤ 4k; beyond that widen the sums to DECIMAL(38,0).
+    "search_bm25" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .pinned
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl")).pinned
+      val ns = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(ns))
+        .select(col("w"), expr("(1000000 * nd) div df").as("idf"))
+      val qtok = tf.where(col("doc_id") === 0).select(col("w").as("qw"))
+      val nrm = dl.crossJoin(broadcast(ns))
+        .select(col("doc_id"),
+          expr("250 + (750 * dl * nd) div sdl").as("norm"))
+      tf.where(col("doc_id") =!= 0)
+        .join(broadcast(qtok), col("w") === col("qw"))
+        .join(broadcast(idf), "w")
+        .join(nrm, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(sum(expr(
+          "(idf * tf * 2200) div (1000 * tf + (1200 * norm) div 1000)"))
+          .as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }),
+
     // Query = document 0 (its text for the lexical side, its embedding
     // for the dense side); results exclude the query doc itself.
     "search_rrf_hybrid" -> ((s: SparkSession, d: String) => {
@@ -87,6 +132,25 @@ object SearchOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "search_bm25" ->
+      ("WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) GROUP BY doc_id, w), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl " +
+        "FROM tf GROUP BY doc_id), " +
+        "ns AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS sdl " +
+        "FROM dl), " +
+        "idf AS (SELECT w, (1000000 * nd) // count(*) AS idf " +
+        "FROM tf, ns GROUP BY w, nd), " +
+        "qt AS (SELECT DISTINCT w FROM tf WHERE doc_id = 0), " +
+        "nrm AS (SELECT doc_id, 250 + (750 * dl * nd) // sdl AS norm " +
+        "FROM dl, ns) " +
+        "SELECT tf.doc_id AS doc_id, CAST(sum((idf * tf * 2200) // " +
+        "(1000 * tf + (1200 * norm) // 1000)) AS BIGINT) AS bm25, " +
+        "count(*) AS n_terms " +
+        "FROM tf JOIN qt USING (w) JOIN idf USING (w) " +
+        "JOIN nrm ON tf.doc_id = nrm.doc_id WHERE tf.doc_id <> 0 " +
+        "GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 20"),
     "search_rrf_hybrid" ->
       ("WITH tok AS (SELECT DISTINCT doc_id, " +
         "unnest(string_split(text, ' ')) AS w FROM documents), " +

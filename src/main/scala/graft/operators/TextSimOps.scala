@@ -795,105 +795,17 @@ object TextSimOps {
 
   private[graft] def clusterCC(s: SparkSession, d: String,
       rounds: Int, checked: Boolean = false): DataFrame = {
+    // The propagation core is the generic [[GraphOps.ccCore]] (r11: CC
+    // promoted to a first-class graph API; this call site is byte-equal
+    // to the pre-refactor inlined form — RewriteEquivalenceSpec); this
+    // operator supplies the near-dup pair graph and the all-docs node
+    // set (isolated docs are singleton clusters).
     val pairs = connectivityPairs(s, d, TauPct)
-    val docs = t(s, d, "documents").select(col("doc_id"))
-    // both edge directions from ONE pass over the pair subtree (a
-    // union of two selects would execute it twice), then the ONE
-    // deliberate materialization in the library: every round references
-    // `edges`, and leaving it as a lazy subtree re-executes the entire
-    // pair generation once per round whenever exchange/stage reuse
-    // declines to dedup the 11 identical copies (measured: 20 s → 53 s
-    // run-to-run at sf0.1 purely on that reuse lottery). localCheckpoint
-    // pins the computed edge list on the executors — exactly what
-    // GraphX does per iteration; on a cluster with lineage-loss
-    // concerns, swap for a reliable checkpoint directory
-    val edges = pairs
-      .select(explode(array(
-        struct(col("da").as("ev"), col("db").as("eu")),
-        struct(col("db").as("ev"), col("da").as("eu")))).as("e"))
-      .select(col("e.ev").as("ev"), col("e.eu").as("eu"))
-      .union(docs.select(col("doc_id").as("ev"), col("doc_id").as("eu")))
-      .pinned
-    // propagate references the running assignment exactly ONCE — Spark
-    // performs no CSE across self-joins, so the shortcut's assign ⋈
-    // assign shape would re-execute the whole upstream 3^rounds times if
-    // left lazy; pinning each round's propagate output with
-    // localCheckpoint gives both join branches the SAME cached RDD
-    // (vertex-count-sized, MEMORY_AND_DISK — GraphX's per-iteration
-    // materialization), so the doubling trick costs one tiny cache per
-    // round instead of an exponential plan
-    def stepOn(e: DataFrame)(a: DataFrame): DataFrame = e
-      .join(a.select(col("v").as("eu2"), col("l").as("nl")),
-        col("eu") === col("eu2"))
-      .groupBy(col("ev")).agg(min(col("nl")).as("mn"))
-      .select(col("ev").as("v"), col("mn").as("l"))
-    def step(a: DataFrame): DataFrame = stepOn(edges)(a)
-    // shortcut: l ← l(l(v)). Labels are always member ids (l(v) ≤ v,
-    // same component), so the label-to-vertex join is total.
-    def jump(a: DataFrame): DataFrame = {
-      val p = a.pinned
-      p.join(p.select(col("v").as("v2"), col("l").as("l2")),
-          col("l") === col("v2"))
-        .select(col("v"), col("l2").as("l"))
-    }
-    // Round 1 runs on the full doc graph — identical label state to the
-    // uncontracted formulation's round 1 (the convergence-guard test
-    // depends on exactly this state at a 1-round budget).
-    var assign = jump(step(
-      docs.select(col("doc_id").as("v"), col("doc_id").as("l"))))
-    if (rounds >= 2) {
-      // GRAPH CONTRACTION (r10): after round 1, near-dup components —
-      // near-cliques on this operator's target corpus — have mostly
-      // collapsed to one label each, yet the uncontracted loop kept
-      // rescanning the FULL edge list (2|pairs| + |docs| rows) every
-      // round. Contract instead: map both endpoints through the round-1
-      // labels, drop now-internal edges (lv = lu), distinct — an
-      // edge-list-sized shuffle whose map-side partial agg emits only
-      // each partition's distinct label pairs, so the contracted edge
-      // set `ec` is inter-cluster-edge-sized (tiny). Rounds 2..N run on
-      // `ec` (label vertices) and the final labels compose through the
-      // round-1 map. Exactness: contraction preserves connectivity
-      // (quotient graph), the component min survives as a label (the
-      // min member m has no smaller neighbor, so l₁(m) = m), and the
-      // composed labels are checked for stationarity against the FULL
-      // edge set below when checked = true. The doubling budget
-      // semantics are unchanged: round r still covers ≥ the distance
-      // plain propagation covers in r rounds, because every contracted
-      // round dominates a full-graph round through the quotient map.
-      val a1 = assign.pinned
-      val labs = a1.select(col("l")).distinct()
-      val ec = edges
-        .join(a1.select(col("v").as("cv"), col("l").as("lv")),
-          col("ev") === col("cv"))
-        .join(a1.select(col("v").as("cu"), col("l").as("lu")),
-          col("eu") === col("cu"))
-        .where(col("lv") =!= col("lu"))
-        .select(col("lv").as("ev"), col("lu").as("eu"))
-        .distinct()
-        .union(labs.select(col("l").as("ev"), col("l").as("eu")))
-        .pinned
-      var sub = labs.select(col("l").as("v"), col("l").as("l"))
-      for (_ <- 2 to rounds) sub = jump(stepOn(ec)(sub))
-      assign = a1
-        .join(sub.select(col("v").as("sv"), col("l").as("fl")),
-          col("l") === col("sv"))
-        .select(col("v"), col("fl").as("l"))
-    }
-    if (!checked) {
-      assign.select(col("v").as("doc_id"), col("l").as("cluster"))
-        .orderBy("doc_id")
-    } else {
-      step(assign)
-        .join(assign.select(col("v").as("v0"), col("l").as("l0")),
-          col("v") === col("v0"))
-        .select(col("v").as("doc_id"),
-          when(col("l") =!= col("l0"), raise_error(lit(
-            s"dedup_cluster_cc: label propagation not converged after " +
-              s"$rounds rounds — graph diameter exceeds the round budget; " +
-              "increase rounds")))
-            .otherwise(col("l")).as("cluster"))
-        .orderBy("doc_id")
-    }
+      .select(col("da").as("a"), col("db").as("b"))
+    val docs = t(s, d, "documents").select(col("doc_id").as("v"))
+    GraphOps.ccCore(docs, pairs, rounds, checked, "dedup_cluster_cc")
+      .select(col("v").as("doc_id"), col("l").as("cluster"))
+      .orderBy("doc_id")
   }
 
   /** Deletion-neighborhood (SymSpell) fuzzy join: pairs each typo row

@@ -197,6 +197,19 @@ class ExtOpsSpec extends SparkTestBase {
       Tables.t(spark, sf, "embeddings"), 3)
       .orderBy("node", "rn").collect().map(_.toString).toSeq
     assert(gKey == gApi, "knnGraphMultiProbe diverges from knn_graph_ivf")
+    val ccKey = SparkEntry.queries("graph_cc")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val pairs = Tables.t(spark, sf, "lineitem")
+      .where(col("l_quantity") === 1 && col("l_orderkey") % 7 === 0)
+      .select(col("l_suppkey").as("a"), (col("l_partkey") + 10000000L).as("b"))
+      .distinct()
+    val nodes = pairs.select(col("a").as("v"))
+      .union(pairs.select(col("b").as("v"))).distinct()
+    val ccApi = operators.GraftOps
+      .connectedComponentsOf(nodes, pairs, rounds = 4)
+      .select(col("v").as("node"), col("l").as("comp")).orderBy("node")
+      .collect().map(_.toString).toSeq
+    assert(ccKey == ccApi, "connectedComponentsOf diverges from graph_cc")
   }
 
   test("text_simhash: near-identical docs have small hamming distance") {

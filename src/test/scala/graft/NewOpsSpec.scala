@@ -239,4 +239,121 @@ class NewOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("graph_cc matches union-find brute force at sf0.001") {
+    val edges = Tables.t(spark, sf, "lineitem")
+      .where(col("l_quantity") === 1 && col("l_orderkey") % 7 === 0)
+      .select(col("l_suppkey"), col("l_partkey") + 10000000L)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = a
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.distinct
+    // min-label per root — the operator's declared component id
+    val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    val expect = nodes.map(n => n -> minOf(find(n))).toMap
+    val got = SparkEntry.queries("graph_cc")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"CC assignment diverges: " +
+      s"${(expect.keySet ++ got.keySet).find(k => expect.get(k) != got.get(k))}")
+  }
+
+  test("agg_linreg matches a double-precision OLS reference per group") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = SparkEntry.queries("agg_linreg")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val (sxx, syy) = (xs.map(t => t._2 * t._2).sum, xs.map(t => t._3 * t._3).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gn, gs, gi, gr) = got(flag)
+      assert(gn == xs.length, s"$flag: n $gn != ${xs.length}")
+      // the reference sums doubles (order-dependent); the operator sums
+      // exact decimals — agree to a relative 1e-6
+      assert(math.abs(gs - slope) <= 1e-6 * math.max(1.0, math.abs(slope)),
+        s"$flag: slope $gs vs $slope")
+      assert(math.abs(gi - intercept) <=
+        1e-6 * math.max(1.0, math.abs(intercept)),
+        s"$flag: intercept $gi vs $intercept")
+      assert(gr >= 0.0 && gr <= 1.0 + 1e-9, s"$flag: r2 $gr out of [0,1]")
+      assert(math.abs(gr - r2) <= 1e-6, s"$flag: r2 $gr vs $r2")
+    }
+  }
+
+  test("agg_mad matches a sorted-array reference per group") {
+    def q50(v: Array[Double]): Double = {
+      val s = v.sorted
+      val h = (s.length - 1) * 0.5
+      val lo = h.toInt
+      if (h == lo) s(lo) else (s(lo) + s(lo + 1)) / 2.0
+    }
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = SparkEntry.queries("agg_mad")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val cents = xs.map(_._2.toDouble).toArray
+      val med = q50(cents)
+      val dev = cents.map(c => math.abs(c - med))
+      val mad = q50(dev)
+      val rz = dev.max / (1.4826 * mad)
+      val (gn, gm, gd, gz) = got(flag)
+      assert(gn == xs.length, s"$flag: n $gn != ${xs.length}")
+      assert(math.abs(gm - med / 100.0) <= 1e-6, s"$flag: median $gm")
+      assert(math.abs(gd - mad / 100.0) <= 1e-6, s"$flag: mad $gd")
+      assert(math.abs(gz - rz) <= 1e-5 * rz, s"$flag: robust z $gz vs $rz")
+    }
+  }
+
+  test("search_bm25 matches an integer-arithmetic reference top-20") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }.toMap
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val nd = docs.length.toLong
+    val sdl = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val qws = tf(0L).keySet
+    val scored = tf.filter(_._1 != 0L).flatMap { case (id, m) =>
+      val terms = m.filter(t => qws.contains(t._1))
+      if (terms.isEmpty) None else {
+        val norm = 250L + (750L * dl(id) * nd) / sdl
+        val s = terms.map { case (w, c) =>
+          val idf = (1000000L * nd) / df(w)
+          (idf * c * 2200L) / (1000L * c + (1200L * norm) / 1000L)
+        }.sum
+        Some((id, s, terms.size.toLong))
+      }
+    }.toSeq
+    val expect = scored.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = SparkEntry.queries("search_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"bm25 top-20 diverges: got ${got.take(3)} " +
+      s"expect ${expect.take(3)}")
+  }
 }
