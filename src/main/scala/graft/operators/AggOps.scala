@@ -355,6 +355,34 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Welch's two-sample t per group (group vs rest-of-corpus) — the
+    // A/B-comparison primitive: does this segment's price distribution
+    // differ from everyone else's? Exact-sums discipline again: ONE
+    // 2-phase agg produces per-group (n1, Σy, Σy²); the corpus totals
+    // come from re-aggregating the GROUP frame (4 rows — never a
+    // second corpus scan) and attach as a 1-row broadcast; the rest's
+    // sums are exact decimal differences (Σ_rest = Σ_all − Σ_g). The
+    // t statistic and Welch–Satterthwaite dof finish as shared
+    // expression strings over the exact inputs. Scale: the corpus
+    // crosses the wire once as 3 numbers per group.
+    "agg_ttest" -> ((s: SparkSession, d: String) => {
+      val y = dec2(col("l_extendedprice"))
+      val grouped = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n1"), sum(y).as("s1"),
+          sum(y * y).as("ss1"))
+        .pinned // referenced by the totals agg AND the finish
+      val totals = grouped.agg(sum(col("n1")).as("n"),
+        sum(col("s1")).as("sy"), sum(col("ss1")).as("syy"))
+      grouped.crossJoin(broadcast(totals))
+        .select(col("l_returnflag"), col("n1"),
+          round6(expr(ttestMeanSql)).as("mean_g"),
+          round6(expr(ttestMeanRestSql)).as("mean_rest"),
+          round6(expr(ttestTSql)).as("t"),
+          round6(expr(ttestDofSql)).as("dof"))
+        .orderBy("l_returnflag")
+    }),
+
     // Latest-row-per-key (argmax) without a window: max over a struct
     // whose leading fields are the order (date, unique orderkey) compares
     // lexicographically, so one 2-phase hash aggregate — partial maxes
@@ -429,6 +457,29 @@ object AggOps {
     s"(CAST(sy AS DOUBLE) - ($linregSlopeSql) * CAST(sx AS DOUBLE)) / " +
       "CAST(n AS DOUBLE)"
   private[graft] val linregR2Sql = s"($lrNum * $lrNum) / ($lrDenX * $lrDenY)"
+
+  /** agg_ttest finishes, shared VERBATIM with the oracle. Inputs are
+    * the exact per-group sums (n1, s1, ss1) and corpus totals (n, sy,
+    * syy); the rest-group sums are exact DECIMAL differences computed
+    * INSIDE the string so both engines subtract before the one double
+    * cast. Sample variance via the Σy² − (Σy)²/n form — every operand
+    * exactly representable (< 2⁵³ at the graded scales), then pure
+    * IEEE. */
+  private val ttN1 = "CAST(n1 AS DOUBLE)"
+  private val ttN2 = "CAST(n - n1 AS DOUBLE)"
+  private[graft] val ttestMeanSql = s"(CAST(s1 AS DOUBLE) / $ttN1)"
+  private[graft] val ttestMeanRestSql = s"(CAST(sy - s1 AS DOUBLE) / $ttN2)"
+  private val ttV1 = s"((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * " +
+    s"CAST(s1 AS DOUBLE) / $ttN1) / ($ttN1 - 1.0))"
+  private val ttV2 = s"((CAST(syy - ss1 AS DOUBLE) - " +
+    s"CAST(sy - s1 AS DOUBLE) * CAST(sy - s1 AS DOUBLE) / $ttN2) / " +
+    s"($ttN2 - 1.0))"
+  private val ttSe2 = s"($ttV1 / $ttN1 + $ttV2 / $ttN2)"
+  private[graft] val ttestTSql =
+    s"($ttestMeanSql - $ttestMeanRestSql) / sqrt($ttSe2)"
+  private[graft] val ttestDofSql =
+    s"($ttSe2 * $ttSe2) / (($ttV1 / $ttN1) * ($ttV1 / $ttN1) / " +
+      s"($ttN1 - 1.0) + ($ttV2 / $ttN2) * ($ttV2 / $ttN2) / ($ttN2 - 1.0))"
 
   val oracle: Map[String, String] = Map(
     "agg_bitmap_distinct" ->
@@ -536,6 +587,20 @@ object AggOps {
         oRound6("mad / 100.0") + " AS mad, " +
         oRound6("maxdev / (1.4826 * mad)") + " AS max_robust_z " +
         "FROM s ORDER BY l_returnflag"),
+    "agg_ttest" ->
+      ("WITH g AS (SELECT l_returnflag, count(*) AS n1, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_extendedprice AS DECIMAL(18,2))) AS ss1 " +
+        "FROM lineitem GROUP BY l_returnflag), " +
+        "tot AS (SELECT sum(n1) AS n, sum(s1) AS sy, sum(ss1) AS syy " +
+        "FROM g) " +
+        "SELECT l_returnflag, n1, " +
+        oRound6(ttestMeanSql) + " AS mean_g, " +
+        oRound6(ttestMeanRestSql) + " AS mean_rest, " +
+        oRound6(ttestTSql) + " AS t, " +
+        oRound6(ttestDofSql) + " AS dof " +
+        "FROM g, tot ORDER BY l_returnflag"),
     "agg_argmax" ->
       ("SELECT o_custkey, o_orderdate AS last_date, " +
         "o_orderkey AS last_orderkey, o_totalprice AS last_price FROM " +

@@ -326,6 +326,77 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("seq_sessionize matches a sorted-scan reference; events conserved") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 1800L * 1000000L
+    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var sess = 0L
+      var prev = Long.MinValue
+      val out = collection.mutable.Map.empty[Long,
+        (Long, Long, Long)] // sess -> (start, end, n)
+      sorted.foreach { case (_, ts, _) =>
+        if (prev == Long.MinValue || ts - prev > gap) sess += 1
+        prev = ts
+        val (s0, _, n) = out.getOrElse(sess, (ts, ts, 0L))
+        out(sess) = (s0, ts, n + 1)
+      }
+      out.map { case (sid, (s0, s1, n)) => (u, sid, s0, s1, n) }
+    }.toSet
+    val got = SparkEntry.queries("seq_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect, s"sessions diverge: ${(expect -- got).take(2)} " +
+      s"missing, ${(got -- expect).take(2)} extra")
+    assert(got.toSeq.map(_._5).sum == ev.length, "events not conserved")
+  }
+
+  test("agg_ttest matches a double-precision Welch reference per group") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = SparkEntry.queries("agg_ttest")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val all = rows.map(_._2)
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val g = xs.map(_._2)
+      val rest = all.length - g.length
+      def mv(v: Seq[Double]): (Double, Double) = {
+        val m = v.sum / v.length
+        (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+      }
+      val restVals = {
+        // rest = corpus minus this group's values (multiset)
+        val cnt = collection.mutable.Map.empty[Double, Int]
+        g.foreach(x => cnt(x) = cnt.getOrElse(x, 0) + 1)
+        all.filter { x =>
+          val c = cnt.getOrElse(x, 0)
+          if (c > 0) { cnt(x) = c - 1; false } else true
+        }
+      }
+      val (m1, v1) = mv(g.toIndexedSeq)
+      val (m2, v2) = mv(restVals.toIndexedSeq)
+      val se2 = v1 / g.length + v2 / rest
+      val tRef = (m1 - m2) / math.sqrt(se2)
+      val dofRef = se2 * se2 /
+        (math.pow(v1 / g.length, 2) / (g.length - 1) +
+          math.pow(v2 / rest, 2) / (rest - 1))
+      val (gn, gm1, gm2, gt, gdof) = got(flag)
+      assert(gn == g.length, s"$flag: n $gn != ${g.length}")
+      assert(math.abs(gm1 - m1) <= 1e-5, s"$flag: mean_g $gm1 vs $m1")
+      assert(math.abs(gm2 - m2) <= 1e-5, s"$flag: mean_rest $gm2 vs $m2")
+      assert(math.abs(gt - tRef) <= 1e-4 * math.max(1.0, math.abs(tRef)),
+        s"$flag: t $gt vs $tRef")
+      assert(math.abs(gdof - dofRef) <= 1e-4 * dofRef,
+        s"$flag: dof $gdof vs $dofRef")
+    }
+  }
+
   test("search_bm25 matches an integer-arithmetic reference top-20") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
