@@ -54,12 +54,25 @@ object IngestOps {
   private def once(path: String)(body: => Unit): String =
     writtenOnce.getOrElseUpdate(path, { body; path })
 
-  /** One deterministic text file: single partition, sorted by event_id
+  /** One deterministic text file: single partition, sorted by `sortCol`
     * before the line projection, so fixture bytes are run-invariant. */
-  private def writeLines(base: DataFrame, line: Column, path: String): Unit =
-    base.repartition(1).sortWithinPartitions("event_id")
+  private def writeLines(base: DataFrame, line: Column, path: String,
+      sortCol: String = "event_id"): Unit =
+    base.repartition(1).sortWithinPartitions(sortCol)
       .select(line.as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Raw line-delimited text corpus: one `doc_id \t lang \t text` line
+    * per document (the corpus text is single-line by construction —
+    * Preflight asserts n_chars = length, no control chars). */
+  private[graft] def writeTextFixture(s: SparkSession, d: String): String = {
+    val path = s"${fixtureRoot(d)}/documents_txt"
+    once(path) {
+      writeLines(t(s, d, "documents"),
+        concat_ws("\t", col("doc_id"), col("lang"), col("text")),
+        path, sortCol = "doc_id")
+    }
+  }
 
   /** RFC4180 field: double the quotes, wrap in quotes. */
   private def q4180(c: Column): Column =
@@ -188,6 +201,26 @@ object IngestOps {
           expr("try_cast(c3 AS double)").as("value"),
           expr("try_cast(trim(c4) AS bigint)").as("ts_us"))
         .orderBy("event_id")
+    }),
+
+    // Raw text-file ingest (spark.read.text) — how LLM corpora actually
+    // arrive: line-delimited UTF-8, structure recovered by parsing, not
+    // declared by a container format. One `value` column in, explicit
+    // split + try_cast out (inference nowhere); the oracle reads the
+    // ORIGINAL parquet, so the whole write→read→parse round-trip must
+    // be byte-exact (a delimiter-handling or encoding divergence fails
+    // the hash). Map-side only after the read; at 100 TB the text
+    // source splits by line boundaries exactly like any other
+    // FileFormat — no structural difference from the CSV path.
+    "scan_text_lines" -> ((s: SparkSession, d: String) => {
+      val path = writeTextFixture(s, d)
+      s.read.text(path)
+        .select(split(col("value"), "\t").as("f"))
+        .select(expr("try_cast(f[0] AS bigint)").as("doc_id"),
+          col("f")(1).as("lang"), col("f")(2).as("text"))
+        .withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("bigint"))
+        .orderBy("doc_id")
     }),
 
     // JSON-lines ingest with an explicit nested schema: missing keys →
@@ -350,6 +383,13 @@ object IngestOps {
         "format='newline_delimited', columns={'event_id':'BIGINT'," +
         "'user_id':'BIGINT','m':'STRUCT(t VARCHAR, \"value\" DOUBLE)'," +
         "'props':'STRUCT(k BIGINT)'}) ORDER BY event_id"),
+    // oracle reads the ORIGINAL parquet (the scan_orc_nested
+    // discipline): the text write→read→parse round-trip must be
+    // byte-exact against the source of truth
+    "scan_text_lines" ->
+      ("SELECT doc_id, lang, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id"),
     "join_bucketed_colocate" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         oSumDec("l_extendedprice") + " AS sum_price " +

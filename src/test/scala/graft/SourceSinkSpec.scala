@@ -27,6 +27,23 @@ class SourceSinkSpec extends SparkTestBase {
     }
   }
 
+  test("scan_text_lines reconstructs the documents table byte-exactly") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("scan_text_lines")(spark, sf)
+      .select("doc_id", "lang", "text")
+    val src = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    assert(got.count() == src.count(), "text round-trip changed row count")
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0,
+      "text write->read->parse round-trip altered values")
+    // derived token count agrees with a direct computation on the source
+    val bad = SparkEntry.queries("scan_text_lines")(spark, sf)
+      .join(src.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("nt")), "doc_id")
+      .where(col("n_tokens") =!= col("nt")).count()
+    assert(bad == 0, s"$bad docs with diverging token counts")
+  }
+
   test("CompactingParquetSink collapses a fragmented table, content intact") {
     val root = tmp()
     // fragment: 40 micro-batch-sized files (the streaming-ingest shape)
