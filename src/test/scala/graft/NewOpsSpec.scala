@@ -397,6 +397,41 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("graph_kcore matches iterative-peel brute force; guard raises at 0 rounds") {
+    val edges = Tables.t(spark, sf, "lineitem")
+      .where(col("l_quantity") <= 2)
+      .select(col("l_suppkey"), col("l_partkey") + 10000000L)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, collection.mutable.Set.empty) += u
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(n => adj(n).count(alive) < 3)
+      changed = drop.nonEmpty
+      alive --= drop
+    }
+    val expect = alive.map(n => n -> adj(n).count(alive).toLong).toMap
+    val got = SparkEntry.queries("graph_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"k-core diverges: ${(expect.keySet ++ got.keySet)
+      .find(k => expect.get(k) != got.get(k))}")
+    // under-budget guard: 0 peel rounds leaves sub-core nodes whose
+    // recomputed degree is < k, which must RAISE, never silently emit
+    val ex = intercept[Exception] {
+      operators.GraphOps.kcore(spark, sf, rounds = 0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("not converged")),
+      s"expected the k-core guard, got: $ex")
+  }
+
   test("search_bm25 matches an integer-arithmetic reference top-20") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
