@@ -131,6 +131,13 @@ object Preflight {
         .count()
       if (badLen > 0)
         out += s"documents.n_chars: $badLen rows where n_chars != length(text)"
+      // scan_text_lines' tab-delimited fixture and every split(" ")
+      // tokenizer assume single-line, tab-free text; a regeneration
+      // that violates this must fail HERE by name, not as a hash
+      // mystery downstream (r11 review item)
+      val badCtl = docs.where(bad(col("text").rlike("[\\t\\n\\r]"))).count()
+      if (badCtl > 0)
+        out += s"documents.text: $badCtl rows contain tab/newline chars"
     }
     check("events") {
       val ev = Tables.events(spark, sfDir)

@@ -30,7 +30,10 @@ import graft.Tables._
 object GraphOps {
   private val One = 1000000000000L // rank 1.0 in fixed-point
   private val Iters = 3
-  private val PartOffset = 10000000L // part node ids, disjoint from suppliers
+  // part node ids, disjoint from suppliers; private[graft] so the
+  // brute-force reference tests build the SAME node ids from one
+  // constant instead of duplicating the literal
+  private[graft] val PartOffset = 10000000L
   private val KcoreK = 3      // k-core threshold
   private val KcoreRounds = 6 // peel budget; measured convergence ≤ 3
 

@@ -63,8 +63,11 @@ object IngestOps {
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** Raw line-delimited text corpus: one `doc_id \t lang \t text` line
-    * per document (the corpus text is single-line by construction —
-    * Preflight asserts n_chars = length, no control chars). */
+    * per document. The corpus text is single-line and tab-free by
+    * construction, and Preflight's documents domain check asserts
+    * exactly that (tab/newline in text reports as named drift), so a
+    * regeneration that breaks this fixture's delimiting fails by name
+    * before any key runs. */
   private[graft] def writeTextFixture(s: SparkSession, d: String): String = {
     val path = s"${fixtureRoot(d)}/documents_txt"
     once(path) {

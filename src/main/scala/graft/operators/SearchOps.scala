@@ -55,8 +55,10 @@ object SearchOps {
     // vocabulary-/query-sized broadcasts; the per-doc norm attaches by
     // keyed equi-join (corpus-count-sized — NEVER broadcast at 100 TB);
     // the final top-20 is a TakeOrdered, not a global sort. Overflow
-    // headroom: idf·tf·2200 ≤ 10⁶·N·dl·2200 — fits BIGINT to N ≈ 10⁹
-    // docs at dl ≤ 4k; beyond that widen the sums to DECIMAL(38,0).
+    // headroom: the largest intermediate is idf·tf·2200 with worst-case
+    // idf = 10⁶·N (df = 1), so the BIGINT bound is N·tf ≤ ~4.2·10⁹ —
+    // N ≈ 10⁶ docs at tf ≤ 4k. Past that, drop idf's 10⁶ scale to 10³
+    // (buys 10³× N) or widen the term expression to DECIMAL(38,0).
     "search_bm25" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val tf = docs.select(col("doc_id"),

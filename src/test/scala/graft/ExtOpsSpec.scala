@@ -201,7 +201,7 @@ class ExtOpsSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     val pairs = Tables.t(spark, sf, "lineitem")
       .where(col("l_quantity") === 1 && col("l_orderkey") % 7 === 0)
-      .select(col("l_suppkey").as("a"), (col("l_partkey") + 10000000L).as("b"))
+      .select(col("l_suppkey").as("a"), (col("l_partkey") + operators.GraphOps.PartOffset).as("b"))
       .distinct()
     val nodes = pairs.select(col("a").as("v"))
       .union(pairs.select(col("b").as("v"))).distinct()

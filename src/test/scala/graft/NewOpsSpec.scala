@@ -243,7 +243,7 @@ class NewOpsSpec extends SparkTestBase {
   test("graph_cc matches union-find brute force at sf0.001") {
     val edges = Tables.t(spark, sf, "lineitem")
       .where(col("l_quantity") === 1 && col("l_orderkey") % 7 === 0)
-      .select(col("l_suppkey"), col("l_partkey") + 10000000L)
+      .select(col("l_suppkey"), col("l_partkey") + operators.GraphOps.PartOffset)
       .distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = collection.mutable.Map.empty[Long, Long]
@@ -400,7 +400,7 @@ class NewOpsSpec extends SparkTestBase {
   test("graph_kcore matches iterative-peel brute force; guard raises at 0 rounds") {
     val edges = Tables.t(spark, sf, "lineitem")
       .where(col("l_quantity") <= 2)
-      .select(col("l_suppkey"), col("l_partkey") + 10000000L)
+      .select(col("l_suppkey"), col("l_partkey") + operators.GraphOps.PartOffset)
       .distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
