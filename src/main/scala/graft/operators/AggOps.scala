@@ -355,6 +355,34 @@ object AggOps {
         .orderBy("l_returnflag")
     }),
 
+    // Gini coefficient per group — the concentration/inequality
+    // profile (revenue concentration, token-frequency skew, shard
+    // balance): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending xᵢ.
+    // Rank ties are harmless BY ALGEBRA (equal x values contribute the
+    // same Σ i·x under any tie permutation), so row_number over the
+    // value alone is deterministic where it matters. Exact: cents
+    // BIGINT values, rank·value products and sums all integer until
+    // the one shared-string double finish. Scale: the rank is a
+    // group-keyed sort window (one exchange); at 100 TB group width,
+    // swap in the two-level bucketed prefix-sum rank of
+    // etl_shard_assign — the formula needs only (i, xᵢ) pairs, not a
+    // global sort. Σ i·x fits BIGINT to ~10⁷ rows per group at cents
+    // ≤ 10⁹; widen to DECIMAL(38,0) beyond.
+    "agg_gini" -> ((s: SparkSession, d: String) => {
+      val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("xc")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), xc.as("xc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
+          sum(expr("CAST(rn AS BIGINT) * xc")).as("srx"))
+        .select(col("l_returnflag"), col("n"),
+          round6(expr(giniSql)).as("gini"))
+        .orderBy("l_returnflag")
+    }),
+
     // Welch's two-sample t per group (group vs rest-of-corpus) — the
     // A/B-comparison primitive: does this segment's price distribution
     // differ from everyone else's? Exact-sums discipline again: ONE
@@ -457,6 +485,12 @@ object AggOps {
     s"(CAST(sy AS DOUBLE) - ($linregSlopeSql) * CAST(sx AS DOUBLE)) / " +
       "CAST(n AS DOUBLE)"
   private[graft] val linregR2Sql = s"($lrNum * $lrNum) / ($lrDenX * $lrDenY)"
+
+  /** agg_gini finish, shared VERBATIM with the oracle: exact BIGINT
+    * inputs (n, Σx, Σ i·x), one IEEE expression. */
+  private[graft] val giniSql =
+    "(2.0 * CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * " +
+      "CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
 
   /** agg_ttest finishes, shared VERBATIM with the oracle. Inputs are
     * the exact per-group sums (n1, s1, ss1) and corpus totals (n, sy,
@@ -586,6 +620,19 @@ object AggOps {
         oRound6("med / 100.0") + " AS median, " +
         oRound6("mad / 100.0") + " AS mad, " +
         oRound6("maxdev / (1.4826 * mad)") + " AS max_robust_z " +
+        "FROM s ORDER BY l_returnflag"),
+    "agg_gini" ->
+      ("WITH b AS (SELECT l_returnflag, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS xc FROM lineitem), " +
+        "r AS (SELECT l_returnflag, xc, row_number() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY xc) AS rn FROM b), " +
+        "s AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(xc) AS BIGINT) AS sx, " +
+        "CAST(sum(rn * xc) AS BIGINT) AS srx FROM r " +
+        "GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        oRound6(giniSql) + " AS gini " +
         "FROM s ORDER BY l_returnflag"),
     "agg_ttest" ->
       ("WITH g AS (SELECT l_returnflag, count(*) AS n1, " +

@@ -69,6 +69,27 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }),
 
+    // Feature hashing (the hashing trick, Weinberger et al. / sklearn
+    // HashingVectorizer): tokens map to a FIXED 256-bucket feature
+    // space via a stable hash — the featurizer that needs no
+    // vocabulary pass, no broadcast dictionary, and a bounded schema
+    // regardless of corpus vocabulary (what makes it the 100 TB
+    // featurizer: one map-side hash + one (doc, bucket) 2-phase count;
+    // contrast text_tfidf_top's vocabulary-sized idf dim). Bucket =
+    // first 8 md5 hex chars mod 256 — engine-portable (the
+    // sample_stratified md5 discipline), deterministic, and
+    // reingestion-stable. Output = the sparse (doc, bucket, count)
+    // triplets; collisions are the technique's documented trade.
+    "text_feature_hash" -> ((s: SparkSession, d: String) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+            % 256).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")),
+
     // Token counting two ways (north star): whitespace split and a
     // BPE-ish regex segmentation (letter runs / digit runs / punct runs —
     // the GPT-2 pre-tokenizer shape, ASCII-simplified so both engines'
@@ -350,6 +371,13 @@ object TextAnalysisOps {
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
+    "text_feature_hash" ->
+      ("SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 " +
+        "AS bucket, count(*) AS cnt " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) GROUP BY doc_id, bucket " +
+        "ORDER BY doc_id, bucket"),
     "text_entropy" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
         "FROM documents), " +

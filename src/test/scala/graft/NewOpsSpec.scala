@@ -432,6 +432,56 @@ class NewOpsSpec extends SparkTestBase {
       s"expected the k-core guard, got: $ex")
   }
 
+  test("agg_gini matches a sorted-array reference; bounds hold") {
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = SparkEntry.queries("agg_gini")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length.toDouble
+      val sx = sorted.map(_.toDouble).sum
+      val srx = sorted.zipWithIndex
+        .map { case (x, i) => (i + 1) * x.toDouble }.sum
+      val gini = (2.0 * srx - (n + 1.0) * sx) / (n * sx)
+      val (gn, gg) = got(flag)
+      assert(gn == xs.length, s"$flag: n $gn != ${xs.length}")
+      assert(gg >= 0.0 && gg < 1.0, s"$flag: gini $gg out of [0,1)")
+      assert(math.abs(gg - gini) <= 1e-6, s"$flag: gini $gg vs $gini")
+    }
+  }
+
+  test("text_feature_hash matches an MD5 reference; counts conserved") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val expect = docs.flatMap { case (id, t) =>
+      t.split(" ").map(w => (id, bucket(w)))
+    }.groupBy(identity).map { case ((id, b), o) => (id, b, o.length.toLong) }
+      .toSet
+    val got = SparkEntry.queries("text_feature_hash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"feature-hash triplets diverge: " +
+      s"${(expect -- got).take(2)} missing, ${(got -- expect).take(2)} extra")
+    // per-doc count conservation: Σ cnt = token count
+    // toSeq before mapping: a Set of counts would collapse duplicates
+    val perDoc = got.groupBy(_._1).view
+      .mapValues(_.toSeq.map(_._3).sum).toMap
+    docs.foreach { case (id, t) =>
+      assert(perDoc(id) == t.split(" ").length.toLong,
+        s"doc $id: bucket counts don't sum to token count")
+    }
+  }
+
   test("search_bm25 matches an integer-arithmetic reference top-20") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
