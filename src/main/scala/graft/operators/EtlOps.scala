@@ -42,6 +42,24 @@ object EtlOps {
         col("orphans"))
   }
 
+  /** The SCD2 version table behind `etl_scd2` (unsorted): per user,
+    * each run of consecutive equal event_type values → one version row
+    * [eff_from, eff_to), NULL-open current. Shared by the build key and
+    * the point-in-time lookup so both always see the same dimension. */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("ver", row_number().over(w))
+      .withColumn("eff_to", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("ver"), col("event_type").as("attr"),
+        col("ts_us").as("eff_from"), col("eff_to"),
+        col("eff_to").isNull.cast("int").as("is_current"))
+  }
+
   val queries: Map[String, QFn] = Map(
     // Referential-integrity audit over the corpus FK graph — the data-
     // quality gate an ingest pipeline runs before joining anything
@@ -100,19 +118,34 @@ object EtlOps {
     // close) — the exchange is planned once and reused; nothing else
     // shuffles. The (ts_us, event_id) order key is unique, so version
     // boundaries are total-order deterministic.
-    "etl_scd2" -> ((s: SparkSession, d: String) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          col("event_type"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .where(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("ver", row_number().over(w))
-        .withColumn("eff_to", lead("ts_us", 1).over(w))
-        .select(col("user_id"), col("ver"), col("event_type").as("attr"),
-          col("ts_us").as("eff_from"), col("eff_to"),
-          col("eff_to").isNull.cast("int").as("is_current"))
-        .orderBy("user_id", "ver")
+    "etl_scd2" -> ((s: SparkSession, d: String) =>
+      scd2Dim(s, d).orderBy("user_id", "ver")),
+
+    // Point-in-time dimension lookup — the READ side of etl_scd2 (the
+    // query every versioned-dimension warehouse runs: "which attribute
+    // version was effective when this fact happened"): each probe fact
+    // joins its user's version whose [eff_from, eff_to) interval
+    // contains the fact timestamp; NULL eff_to is the open current
+    // version. Scale shape: the join is EQUI on the user key with the
+    // interval containment as a residual predicate — versions per key
+    // are few, so the hash/SMJ equi-join carries the cost and the
+    // range never degenerates to a BNLJ. Every probe matches exactly
+    // one version by SCD2 construction (intervals partition each
+    // user's timeline from the first event on). Deterministic probe
+    // subset (event_id % 17) keeps the graded output focused; the plan
+    // is identical at any probe rate including 1.
+    "etl_scd2_lookup" -> ((s: SparkSession, d: String) => {
+      val probes = events(s, d)
+        .where(pmod(col("event_id"), lit(17)) === 0)
+        .select(col("event_id"), col("user_id").as("pu"),
+          col("ts_us").as("pts"))
+      probes.join(scd2Dim(s, d),
+          col("pu") === col("user_id") &&
+            col("eff_from") <= col("pts") &&
+            (col("eff_to").isNull || col("pts") < col("eff_to")))
+        .select(col("event_id"), col("user_id"),
+          col("pts").as("ts_us"), col("ver"), col("attr"))
+        .orderBy("event_id")
     }),
 
     // Incremental aggregate maintenance (materialized-view upkeep) — the
@@ -370,6 +403,23 @@ object EtlOps {
         "ts_us AS eff_from, eff_to, " +
         "CAST(eff_to IS NULL AS INTEGER) AS is_current " +
         "FROM v ORDER BY user_id, ver"),
+    "etl_scd2_lookup" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "event_type FROM events), " +
+        "f AS (SELECT *, lag(event_type) OVER w AS prev FROM e " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "ch AS (SELECT * FROM f WHERE prev IS NULL OR prev <> event_type), " +
+        "v AS (SELECT user_id AS vu, event_type AS attr, " +
+        "row_number() OVER w AS ver, ts_us AS eff_from, " +
+        "lead(ts_us) OVER w AS eff_to FROM ch " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "p AS (SELECT event_id, user_id, ts_us FROM e " +
+        "WHERE event_id % 17 = 0) " +
+        "SELECT p.event_id, p.user_id, p.ts_us, " +
+        "CAST(ver AS INTEGER) AS ver, attr " +
+        "FROM p JOIN v ON p.user_id = vu AND eff_from <= p.ts_us " +
+        "AND (eff_to IS NULL OR p.ts_us < eff_to) " +
+        "ORDER BY p.event_id"),
     "etl_incremental_agg" ->
       ("SELECT user_id, event_type, count(*) AS cnt, " +
         oSumDec("value") + " AS sum_v FROM events " +

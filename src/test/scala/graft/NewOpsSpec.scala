@@ -482,6 +482,38 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("etl_scd2_lookup: each probe matches exactly its effective version") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent reference: the attribute at ts is the event_type of
+    // the LAST change point at or before ts; the version is that
+    // change point's ordinal
+    val byUser = ev.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val changes = sorted.zipWithIndex.filter { case (r, i) =>
+        i == 0 || sorted(i - 1)._4 != r._4 }.map(_._1)
+      changes.zipWithIndex.map { case (r, i) => (r._2, r._3, i + 1, r._4) }
+    }.toMap
+    val probes = ev.filter(_._3 % 17 == 0)
+    val got = SparkEntry.queries("etl_scd2_lookup")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4))).toMap
+    assert(got.size == probes.length,
+      s"${got.size} matches for ${probes.length} probes — not exactly-one")
+    probes.foreach { case (u, ts, eid, _) =>
+      // interval semantics: the effective version is the LAST change
+      // with eff_from <= ts (equal-ts changes collapse: the earlier
+      // version's [t, t) interval is empty, exactly as the operator's
+      // pts < eff_to predicate excludes it)
+      val c = byUser(u).filter(_._1 <= ts).last
+      val (gu, gts, gver, gattr) = got(eid)
+      assert(gu == u && gts == ts, s"probe $eid: key/ts mangled")
+      assert(gver == c._3 && gattr == c._4,
+        s"probe $eid: got v$gver/$gattr expected v${c._3}/${c._4}")
+    }
+  }
+
   test("search_bm25 matches an integer-arithmetic reference top-20") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
