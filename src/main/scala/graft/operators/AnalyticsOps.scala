@@ -31,33 +31,8 @@ import graft.Tables._
 object AnalyticsOps {
   private val HourUs = 3600L * 1000000L
   private val DayUs = 86400L * 1000000L
-  private val SessGapUs = 1800L * 1000000L // 30-min silence breaks a session
 
   val queries: Map[String, QFn] = Map(
-    // Batch gap-based sessionization — the lag → new-session flag →
-    // per-user running-sum composition (the batch twin of
-    // window_session's streaming session_window): a session breaks
-    // after a 30-min silence; per-session output is (user, session
-    // ordinal, start/end ts, event count). ONE user-keyed shuffle: all
-    // window passes and the final agg share the (user_id) partitioning,
-    // so the exchange is planned once (the etl_scd2 discipline) and no
-    // global order is ever needed — the shape that holds at 100 TB,
-    // where per-user sequences are short but users are billions.
-    "seq_sessionize" -> ((s: SparkSession, d: String) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      events(s, d)
-        .withColumn("prev_ts", lag("ts_us", 1).over(w))
-        .withColumn("brk",
-          when(col("prev_ts").isNull ||
-            col("ts_us") - col("prev_ts") > SessGapUs, 1L).otherwise(0L))
-        .withColumn("sess", sum("brk").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sess"))
-        .agg(min("ts_us").as("t_start"), max("ts_us").as("t_end"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "sess")
-    }),
-
     // Ordered 3-stage funnel view → click → purchase: per user, t1 =
     // first view, t2 = first click strictly after t1, t3 = first
     // purchase strictly after t2; stage = stages completed (0-3).
@@ -132,21 +107,6 @@ object AnalyticsOps {
     }))
 
   val oracle: Map[String, String] = Map(
-    "seq_sessionize" ->
-      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us " +
-        "FROM events), " +
-        "b AS (SELECT user_id, ts_us, event_id, " +
-        "CASE WHEN lag(ts_us) OVER w IS NULL OR " +
-        s"ts_us - lag(ts_us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS brk " +
-        "FROM e WINDOW w AS (PARTITION BY user_id " +
-        "ORDER BY ts_us, event_id)), " +
-        "se AS (SELECT user_id, ts_us, CAST(sum(brk) OVER " +
-        "(PARTITION BY user_id ORDER BY ts_us, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
-        "AS sess FROM b) " +
-        "SELECT user_id, sess, min(ts_us) AS t_start, " +
-        "max(ts_us) AS t_end, count(*) AS n_events FROM se " +
-        "GROUP BY user_id, sess ORDER BY user_id, sess"),
     "seq_transition_counts" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, " +
         "epoch_us(ts) AS ts_us FROM events), " +

@@ -326,34 +326,6 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
-  test("seq_sessionize matches a sorted-scan reference; events conserved") {
-    val ev = Tables.events(spark, sf)
-      .select(col("user_id"), col("ts_us"), col("event_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val gap = 1800L * 1000000L
-    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
-      val sorted = rows.sortBy(r => (r._2, r._3))
-      var sess = 0L
-      var prev = Long.MinValue
-      val out = collection.mutable.Map.empty[Long,
-        (Long, Long, Long)] // sess -> (start, end, n)
-      sorted.foreach { case (_, ts, _) =>
-        if (prev == Long.MinValue || ts - prev > gap) sess += 1
-        prev = ts
-        val (s0, _, n) = out.getOrElse(sess, (ts, ts, 0L))
-        out(sess) = (s0, ts, n + 1)
-      }
-      out.map { case (sid, (s0, s1, n)) => (u, sid, s0, s1, n) }
-    }.toSet
-    val got = SparkEntry.queries("seq_sessionize")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toSet
-    assert(got == expect, s"sessions diverge: ${(expect -- got).take(2)} " +
-      s"missing, ${(got -- expect).take(2)} extra")
-    assert(got.toSeq.map(_._5).sum == ev.length, "events not conserved")
-  }
-
   test("agg_ttest matches a double-precision Welch reference per group") {
     val rows = Tables.t(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
