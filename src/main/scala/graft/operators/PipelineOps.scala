@@ -204,6 +204,39 @@ object PipelineOps {
     // Σ pow(n, α) of doubles would be partition-order nondeterministic
     // AND libm-divergent across engines — the same trap rule 1 solves
     // for money, solved the same way: integers until the boundary.
+    // Deterministic class-balancing by REPLICATION (oversampling) —
+    // the rebalancing mechanism the sampling shelf lacked: every other
+    // sample_* key SELECTS a subset; minority-class upweighting in a
+    // training mix replicates rows. Epoch semantics: each language's
+    // docs repeat in full passes (copy 0 = every doc once, copy 1 =
+    // again, …) truncated at target = the majority class size, so
+    // every class emits exactly `target` rows and coverage is
+    // maximal-first — the standard "repeat the dataset, cut at budget"
+    // oversampler, RNG-free and reingestion-stable. Plan shape: the
+    // factor/target dim is language-count-sized (a 1-row max broadcast
+    // onto the 5-row counts frame — declared BNLJ), the corpus joins
+    // it BY KEY, copies explode map-side (sequence(0, factor-1)), and
+    // the truncation is a language-partitioned window — nothing
+    // global, row amplification bounded by factor ≤ target/cnt + 1.
+    "pipe_oversample" -> ((s: SparkSession, d: String) => {
+      val counts = t(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(max(col("cnt")).as("target"))
+      val dim = counts.crossJoin(broadcast(target))
+        .select(col("lang"), col("target"),
+          expr("(target + cnt - 1) div cnt").as("factor"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("copy", "doc_id")
+      t(s, d, "documents").select(col("lang"), col("doc_id"))
+        .join(broadcast(dim), "lang")
+        .select(col("lang"), col("doc_id"), col("target"),
+          explode(expr("sequence(0L, factor - 1)")).as("copy"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= col("target"))
+        .select(col("lang"), col("doc_id"), col("copy"))
+        .orderBy("lang", "copy", "doc_id")
+    }),
+
     "pipe_mix_temperature" -> ((s: SparkSession, d: String) => {
       val per = t(s, d, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
@@ -542,6 +575,19 @@ object PipelineOps {
         "CAST(count(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT), " +
         "CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL FROM e " +
         "ORDER BY colname"),
+    "pipe_oversample" ->
+      ("WITH c AS (SELECT lang, count(*) AS cnt FROM documents " +
+        "GROUP BY lang), " +
+        "tg AS (SELECT max(cnt) AS target FROM c), " +
+        "f AS (SELECT lang, target, (target + cnt - 1) // cnt AS factor " +
+        "FROM c, tg), " +
+        "x AS (SELECT d.lang, d.doc_id, f.target, " +
+        "unnest(range(f.factor)) AS copy " +
+        "FROM documents d JOIN f USING (lang)), " +
+        "r AS (SELECT lang, doc_id, copy, target, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY copy, doc_id) AS rn FROM x) " +
+        "SELECT lang, doc_id, CAST(copy AS BIGINT) AS copy FROM r " +
+        "WHERE rn <= target ORDER BY lang, copy, doc_id"),
     "pipe_mix_temperature" ->
       ("WITH per AS (SELECT source, count(*) AS n, " +
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks " +

@@ -486,6 +486,35 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_oversample: balanced classes, full epochs first, stable") {
+    val langCnt = Tables.t(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = langCnt.values.max
+    val out = SparkEntry.queries("pipe_oversample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = out.groupBy(_._1)
+    assert(byLang.keySet == langCnt.keySet, "language set changed")
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == target,
+        s"$lang: ${rows.length} rows, want exactly target $target")
+      // epoch semantics: copy c is a FULL pass for every c < target/cnt
+      // (floor), and copy 0 always covers every doc of the class
+      val copies = rows.groupBy(_._3)
+      assert(copies(0L).map(_._2).toSet ==
+        rows.map(_._2).toSet.take(Int.MaxValue) &&
+        copies(0L).length == langCnt(lang),
+        s"$lang: copy 0 is not a full pass")
+      val fullPasses = target / langCnt(lang)
+      (0L until fullPasses).foreach { c =>
+        assert(copies(c).length == langCnt(lang),
+          s"$lang: copy $c not a full pass")
+      }
+      assert(copies.keys.max <= fullPasses,
+        s"$lang: copy index beyond the truncated final pass")
+    }
+  }
+
   test("search_bm25 matches an integer-arithmetic reference top-20") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text"))

@@ -239,11 +239,14 @@ class PlanSpec extends SparkTestBase {
     //    corpus-stats aggregate (idf numerator, avgdl denominator)
     //  - agg_ttest: 1×G broadcast of the 1-row corpus totals onto the
     //    group-count-sized (≤4-row) grouped frame
+    //  - pipe_oversample: 1×L broadcast of the 1-row majority-class
+    //    target onto the language-count-sized counts frame
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "knn_graph_ivf",
       "agg_heavy_hitters", "text_lm_score", "text_tfidf_top",
       "pipe_dataset_card", "search_rrf_hybrid", "pipe_mix_temperature",
-      "etl_fk_audit", "sample_split_time", "search_bm25", "agg_ttest")
+      "etl_fk_audit", "sample_split_time", "search_bm25", "agg_ttest",
+      "pipe_oversample")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
