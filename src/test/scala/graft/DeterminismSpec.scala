@@ -18,9 +18,13 @@ class DeterminismSpec extends SparkTestBase {
   // rules (DECIMAL sums, fixed-point integers, struct-extreme argmax)
   // must be immune to. Representative keys cover each exact-arithmetic
   // family: decimal money sums, second moments, fixed-point iterative
-  // PageRank, the partial-merge rollup, and a float-derived round6.
+  // PageRank, the partial-merge rollup, a float-derived round6, and
+  // (r11) exact percentile buffers (agg_mad), rank-tie algebra under
+  // re-partitioned sort windows (agg_gini), iterative min-label
+  // propagation (graph_cc), and integer-division scoring (search_bm25).
   for (key <- Seq("agg_groupby", "agg_stats_exact", "graph_pagerank",
-      "etl_incremental_agg", "text_quality")) {
+      "etl_incremental_agg", "text_quality", "agg_mad", "agg_gini",
+      "graph_cc", "search_bm25")) {
     test(s"$key is invariant to the shuffle partition count") {
       val conf = "spark.sql.shuffle.partitions"
       val before = spark.conf.get(conf)
