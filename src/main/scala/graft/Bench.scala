@@ -44,18 +44,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] prepareFixtures failed: ${e.getMessage}")
       }
-    // Min-of-R with a GC settle per attempt (VERDICT r5 #2): in-suite
-    // single-shot times swing ~2× vs isolated steady-state with zero
-    // code change (sim_jaccard_pairs 10.17 s in-suite vs 5.57 s
-    // isolated) — neighbor GC/page pressure, not the operator. The min
-    // of two attempts with an explicit GC between keys is the cheapest
-    // estimator that discards a bad draw; a crashed attempt (-1 rows)
-    // poisons the key to its crash time so a failure can never report
-    // a fast minimum.
-    // non-numeric → default 2; clamped to [1, 10] (ADVICE r6)
+    // Median-of-R with a GC settle per attempt (VERDICT r11 #1): the
+    // single-run canonical bench produced phantom 1.5–2× swings twice
+    // (r11 graph_bfs_hops read 4.52 s vs 2.4 s steady; r10→r11
+    // common-key total drifted +11% with no plan change) — in-suite
+    // times carry neighbor GC/page pressure, not operator cost. The
+    // MEDIAN of R ≥ 3 attempts is robust to one bad draw in either
+    // direction (min-of-R, the r5–r11 estimator, still rewards one
+    // lucky cache-warm draw); a crashed attempt (-1 rows) poisons the
+    // key to its crash time so a failure can never report a fast
+    // median.
+    // non-numeric → default 3; clamped to [1, 10] (ADVICE r6)
     val reps = sys.env.get("SPARK_GRAFT_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(2).max(1).min(10)
+      .getOrElse(3).max(1).min(10)
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to reps).map { i =>
         System.gc()
@@ -75,8 +77,15 @@ object Bench {
         System.err.println(f"[bench] $name%-22s try$i $dt%8.2fs rows=$n")
         (dt, n)
       }
-      val dt = if (attempts.exists(_._2 < 0)) attempts.map(_._1).max
-               else attempts.map(_._1).min
+      val dt =
+        if (attempts.exists(_._2 < 0)) attempts.map(_._1).max
+        else {
+          val s = attempts.map(_._1).sorted
+          // even R: upper median — picking the faster middle draw
+          // would re-open the min-of-R lucky-draw bias, and averaging
+          // invents a time no run produced
+          s(s.length / 2)
+        }
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -115,6 +115,46 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.sim.forceGeneral")
   }
 
+  test("expandContainmentSorted: pre-expansion range exchange emits the " +
+    "EXACT row order of expand-then-orderBy (r12)") {
+    // The r12 containment tail moves the range exchange BEFORE the
+    // db-side member blowup (expandContainmentSorted scaladoc); the
+    // parity gate compares row-by-row, so total (da, db) order — not
+    // just the pair set — is the contract. Assert sequence equality
+    // (order included) against the naive expand → orderBy form on the
+    // sf corpus and on a synthetic corpus dense in exact-dup groups
+    // (many multi-member masks exercise intra-clique + cross expansion
+    // interleaving at the same da).
+    val ss = spark
+    import ss.implicits._
+    val dense = (0L until 120L).map { id =>
+      // 12 distinct token sets over a 20-word vocabulary, each set
+      // shared by 10 docs → every mask group has 10 members
+      val words = (0 until 6).map(j => s"w${(id % 12 + j * 2) % 20}")
+      (id, words.distinct.mkString(" "))
+    }
+    val dir = Files.createTempDirectory("graft_contsort").toString
+    dense.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    for (corpus <- Seq(sf, dir)) {
+      val tok = Tables.t(spark, corpus, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val docs = operators.TextSimOps.bitsetDocs(tok).get
+      import Tables.PinSyntax
+      val bd = docs.pinned
+      val uniq = operators.TextSimOps.maskUniq(bd).pinned
+      val grp = operators.TextSimOps.maskMembers(bd, uniq)
+      def rp() = operators.TextSimOps.bitsetContainmentPairs(uniq, 95)
+      val want = operators.TextSimOps.expandContainment(rp(), grp)
+        .orderBy("da", "db").collect().toSeq
+      val got = operators.TextSimOps.expandContainmentSorted(rp(), grp)
+        .collect().toSeq
+      assert(got == want, s"corpus $corpus: first drift at index " +
+        s"${got.zip(want).indexWhere(p => p._1 != p._2)} of ${want.size}")
+      assert(want.nonEmpty, s"corpus $corpus degenerate")
+    }
+  }
+
   test("dedup_minhash: inline-mask verify (bitset) equals the " +
     "array-attach verify (general path)") {
     // r11: both paths share the SAME signature and banding (min
