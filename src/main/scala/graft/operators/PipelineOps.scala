@@ -442,7 +442,7 @@ object PipelineOps {
         .agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_uniq"))
       val quant = docs
-        .agg(round6(expr("percentile(q6 / 1000000.0, 0.5)")).as("q_p50"))
+        .agg(round6(groupPercentile(s, "q6 / 1000000.0", 0.5)).as("q_p50"))
       docs.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -509,14 +509,15 @@ object PipelineOps {
     // round6'd BEFORE the comparison in both engines, so an
     // interpolation ulp can never flip a boundary document. The exact
     // percentile buffers each language's values (ObjectHashAggregate);
-    // at open scale swap in percentile_approx (agg_approx_percentile's
-    // GK sketch — mergeable, bounded memory) with the same plan shape.
+    // at open scale spark.graft.agg.approxPercentile=<accuracy> swaps
+    // in the mergeable GK sketch with the same plan shape
+    // (groupPercentile, r12).
     "pipe_quality_cut" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))
       val thr = docs.groupBy(col("lang"))
-        .agg(round6(expr("percentile(quality, 0.75)")).as("thr"),
+        .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
           count(lit(1)).as("n_docs"))
       docs.join(broadcast(thr), "lang")
         .where(col("quality") >= col("thr"))

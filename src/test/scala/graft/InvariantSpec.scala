@@ -124,6 +124,67 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("groupPercentile sketch path: agg_mad/agg_percentile diverge " +
+    "boundedly from exact and keep the exact schema (r12)") {
+    // VERDICT r11 #4: the 100 TB claim for the exact-percentile family
+    // must be code, not prose. spark.graft.agg.approxPercentile=<acc>
+    // swaps every groupPercentile caller to the mergeable GK sketch;
+    // GK at accuracy `acc` bounds RANK error by n/acc, so at acc=100
+    // on this corpus the realized value error should sit within a few
+    // percent. Assert (a) identical schema on both paths (the sketch
+    // returns the input type — groupPercentile casts to DOUBLE), and
+    // (b) ≤5% relative divergence per emitted statistic; max_robust_z
+    // is rank-sensitive through BOTH median and MAD, so it gets 15%.
+    def run(k: String) = SparkEntry.queries(k)(spark, sf)
+    for (k <- Seq("agg_mad", "agg_percentile")) {
+      val exact = run(k)
+      val exactRows = exact.collect()
+      spark.conf.set("spark.graft.agg.approxPercentile", "100")
+      try {
+        val sk = run(k)
+        assert(sk.schema == exact.schema,
+          s"$k: sketch path changed the schema — " +
+            s"${sk.schema.simpleString} vs ${exact.schema.simpleString}")
+        val skRows = sk.collect()
+        assert(skRows.length == exactRows.length, s"$k: row count drift")
+        exactRows.zip(skRows).foreach { case (er, sr) =>
+          assert(er.getString(0) == sr.getString(0), s"$k: key order drift")
+          er.schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (f.dataType == org.apache.spark.sql.types.DoubleType &&
+                !er.isNullAt(i) && !sr.isNullAt(i)) {
+              val (e, a) = (er.getDouble(i), sr.getDouble(i))
+              val tol = if (f.name == "max_robust_z") 0.15 else 0.05
+              assert(math.abs(a - e) <= tol * math.abs(e).max(1e-9),
+                s"$k ${er.getString(0)}.${f.name}: sketch $a vs exact $e")
+            }
+          }
+        }
+      } finally spark.conf.unset("spark.graft.agg.approxPercentile")
+    }
+  }
+
+  test("agg_mad emits NULL max_robust_z when MAD is 0 (ADVICE r11)") {
+    // A group where ≥50% of values are identical has MAD 0; the old
+    // finish divided by it, and Spark's floor-based round6 collapsed
+    // the Infinity to Long.MaxValue/1e6 while DuckDB kept Infinity —
+    // engine-divergent on legal input. The shared nullif finish makes
+    // both emit NULL.
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad0").toString
+    Seq(("A", 10.0), ("A", 10.0), ("A", 10.0), ("A", 99.0),
+        ("B", 1.0), ("B", 2.0), ("B", 8.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("agg_mad")(spark, dir).collect()
+    val a = rows.find(_.getString(0) == "A").get
+    assert(a.isNullAt(a.fieldIndex("max_robust_z")),
+      s"MAD-0 group must emit NULL robust z, got $a")
+    val b = rows.find(_.getString(0) == "B").get
+    assert(!b.isNullAt(b.fieldIndex("max_robust_z")),
+      s"spread group must emit a real robust z, got $b")
+  }
+
   test("agg_approx_distinct within 5% of exact (rsd=0.05)") {
     import graft.Tables.t
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)

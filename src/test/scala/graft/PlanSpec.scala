@@ -357,6 +357,44 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("agg_gini ranks via the two-level bucketed prefix sum — no " +
+    "row-level group-only window (r12, VERDICT r11 #3)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // The r11 plan ranked every row with row_number() over
+    // partitionBy(l_returnflag) — each of the 3 groups' full row set
+    // sorted in one task (3.6 MiB single-task shuffle at sf0.1). The
+    // r12 plan may only window over (a) (group, bucket) — parallel
+    // across buckets — or (b) the bucket-offset table, which is
+    // bucket-count-sized BY CONSTRUCTION (its subtree aggregates on
+    // bk). Assert exactly that: every group-only window's child
+    // contains a bk-grouping aggregate.
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => Seq(w)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        windows(q.plan)
+    }.flatten
+    val qe = SparkEntry.queries("agg_gini")(spark, sf).queryExecution
+    val ws = windows(qe.executedPlan)
+    assert(ws.nonEmpty, s"expected window nodes:\n${qe.executedPlan}")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in agg_gini:\n${qe.executedPlan}")
+      if (w.partitionSpec.size == 1) {
+        val bucketSized = w.child.collect {
+          case a: HashAggregateExec
+            if a.groupingExpressions.exists(_.toString.contains("bk")) => a
+        }.nonEmpty
+        assert(bucketSized,
+          "group-only window over a non-bucket-collapsed (row-scaled) " +
+            s"input in agg_gini:\n${qe.executedPlan}")
+      }
+    }
+  }
+
   test("similarity verify attaches broadcast via AQE, and survive without") {
     // VERDICT r4 #4: no similarity join carries a hard broadcast hint.
     // At test scale AQE must convert the small side — the doc-token
