@@ -164,8 +164,8 @@ object SimilarityOps {
     // renegotiation trade (KnnScaleProbe, DESIGN §3/§11): the
     // IVF-cell-partitioned form stays near-flat where exact grows
     // quadratically (2.6→7.2 s vs 3.3→34.7 s over 4k→16k vectors,
-    // crossover ≈4k at nlist=16) at 0.56 cross-cell edge recall
-    // (r11 top-2 multi-probe) on this IVF-hostile corpus. A 100 TB
+    // crossover ≈4k at nlist=16) at 0.83 cross-cell edge recall
+    // (r12 top-3 multi-probe) on this IVF-hostile corpus. A 100 TB
     // run keeps exactness WITHIN cells and switches to knn_graph_ivf
     // / knn_ann_srp's existing plans across them — renegotiate the
     // key, don't scale this one.
@@ -203,9 +203,10 @@ object SimilarityOps {
     // At 100 TB the cell is also the storage partition key (knn_ivf's
     // layout), so each task reads only its cells' files. Honest local
     // measurement: at sf0.1 (2 000 vectors) this is SLOWER than the
-    // exact graph (1.99 s vs 1.69 s) — the fixed training agg
-    // outweighs the N²→N²/16 pair cut at tiny N; the crossover is
-    // where N²·d work dominates the (cell × dim) training agg.
+    // exact graph (2.0 s vs 1.7 s steady at p=3) — the fixed training
+    // agg outweighs the N²→N²/nlist·p² pair cut at tiny N; the
+    // crossover is where N²·d work dominates the (cell × dim)
+    // training agg (measured ≈4k vectors, KnnScaleProbe).
     "knn_graph_ivf" -> ((s: SparkSession, d: String) => {
       val emb = t(s, d, "embeddings")
       knnGraphMultiProbe(emb, 3).orderBy("node", "rn")
@@ -331,42 +332,49 @@ object SimilarityOps {
       .select(col("node"), col("nbr"), col("cos"), col("rn"))
   }
 
-  /** Multi-probe IVF k-NN graph (r11): every vector candidates in its
-    * TOP-2 trained cells instead of one. The single-probe form loses
-    * any true neighbor whose home cell differs — on THIS corpus's
-    * near-uniform vectors that was most of them (measured edge recall
-    * 0.19); with p=2 a pair is found iff the two vectors' top-2 cell
-    * SETS intersect. Pair work rises from Θ(Σ n_c²) to ≤ 4× that
-    * (each cell's occupancy ≤ doubles) — same asymptotic family, same
-    * per-task memory bound via [[tiledPairs]].
+  /** Multi-probe IVF k-NN graph (r11, probe count generalized r12):
+    * every vector candidates in its TOP-p trained cells instead of
+    * one. The single-probe form loses any true neighbor whose home
+    * cell differs — on THIS corpus's near-uniform vectors that was
+    * most of them (measured edge recall 0.19); with probing a pair is
+    * found iff the two vectors' top-p cell SETS intersect (r11 p=2:
+    * 0.563; r12 p=3: measured in ExtOpsSpec, VERDICT r11 #5). Pair
+    * work rises from Θ(Σ n_c²) to ≤ p² × that (each cell's occupancy
+    * ≤ p-folds) — same asymptotic family, same per-task memory bound
+    * via [[tiledPairs]]. p is the standard IVF recall/cost dial: at
+    * 100 TB it tunes per-query against the measured curve, and the
+    * REPLICATION stays on candidate generation only — the stored
+    * layout (knn_ivf's partition key) keeps one home cell per vector.
     *
     * Duplicate-free without a distinct shuffle: a pair whose cell sets
-    * share TWO cells would meet twice, so each meeting carries both
-    * sides' (c1, c2) as tiledPairs payload and the pair is emitted
-    * only in the LEAST shared cell (the minhash first-colliding-band
-    * trick; `least` skips the null arms of the membership `when`s). */
-  private[graft] def knnGraphMultiProbe(emb: DataFrame,
-      k: Int): DataFrame = {
+    * share SEVERAL cells would meet once per shared cell, so each
+    * meeting carries both sides' full probe lists as tiledPairs
+    * payload and the pair is emitted only in the LEAST shared cell
+    * (the minhash first-colliding-band trick; `least` skips the null
+    * arms of the membership `when`s). */
+  private[graft] val IvfGraphProbes = 3
+  private[graft] def knnGraphMultiProbe(emb: DataFrame, k: Int,
+      p: Int = IvfGraphProbes): DataFrame = {
     val means = ivfMeans(emb)
     val scored = emb.crossJoin(broadcast(means))
       .withColumn("cd", dot(col("embedding"), col("cvec")))
-    // top-2 trained cells per vector: 16 scored rows fold into one
-    // sorted 2-prefix — deterministic (sort on (-cd, tcell); the
+    // top-p trained cells per vector: 16 scored rows fold into one
+    // sorted p-prefix — deterministic (sort on (-cd, tcell); the
     // collect_list's order is irrelevant under sort_array)
-    val top2 = scored.groupBy(col("vec_id"))
+    val cs = (1 to p).map(i => col("cs")(i - 1)("tcell").as(s"c$i"))
+    val topP = scored.groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct((-col("cd")).as("nc"),
         col("tcell")))).as("cs"))
-      .select(col("vec_id").as("tv"),
-        col("cs")(0)("tcell").as("c1"), col("cs")(1)("tcell").as("c2"))
-    val probed = emb.join(top2, col("vec_id") === col("tv"))
-      .select(col("vec_id"), col("embedding"), col("c1"), col("c2"),
-        explode(array(col("c1"), col("c2"))).as("cell"))
-    val minShared = least(
-      when(col("c1_a") === col("c1_b") || col("c1_a") === col("c2_b"),
-        col("c1_a")),
-      when(col("c2_a") === col("c1_b") || col("c2_a") === col("c2_b"),
-        col("c2_a")))
-    val pairs = tiledPairs(probed, Seq("cell"), Seq("c1", "c2"))
+      .select(col("vec_id").as("tv") +: cs: _*)
+    val pcols = (1 to p).map(i => s"c$i")
+    val probed = emb.join(topP, col("vec_id") === col("tv"))
+      .select(col("vec_id") +: col("embedding") +: pcols.map(col) :+
+        explode(array(pcols.map(col): _*)).as("cell"): _*)
+    val minShared = least(pcols.map { ca =>
+      when(pcols.map(cb => col(s"${ca}_a") === col(s"${cb}_b"))
+        .reduce(_ || _), col(s"${ca}_a"))
+    }: _*)
+    val pairs = tiledPairs(probed, Seq("cell"), pcols)
       .where(col("cell") === minShared)
       .select(col("a"), col("b"),
         round6(dot(col("va"), col("vb"))).as("cos"))

@@ -132,15 +132,16 @@ class ExtOpsSpec extends SparkTestBase {
         .foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-9))
     }
     // recall floor: near-uniform unit vectors spread across 16 cells
-    // lose cross-cell neighbors — the documented trade. r11's top-2
-    // multi-probe raised measured edge recall 0.194 → 0.563 at
-    // sf0.001; 0.4 is set from that observed value (ADVICE r10: 0.05
-    // was nearly vacuous) so a cell-assignment or probe regression
-    // actually fails while leaving headroom for corpus regeneration.
+    // lose cross-cell neighbors — the documented trade. Multi-probe
+    // recall ladder, measured at sf0.001: p=1 0.194, p=2 0.563 (r11),
+    // p=3 0.831 (r12, VERDICT r11 #5). 0.6 is set from the p=3
+    // observation (ADVICE r10: 0.05 was nearly vacuous) so a
+    // cell-assignment or probe regression actually fails while
+    // leaving headroom for corpus regeneration.
     val hits = ivf.count(r => exact((r.getLong(0), r.getLong(1))))
     val recall = hits.toDouble / exact.size
     info(f"knn_graph_ivf edge recall vs exact: $recall%.3f")
-    assert(recall >= 0.4, s"recall $recall below the observed floor")
+    assert(recall >= 0.6, s"recall $recall below the observed floor")
   }
 
   test("dedup_minhash (b,r) sensitivity: measured recall/candidates " +
