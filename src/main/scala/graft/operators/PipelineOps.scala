@@ -38,6 +38,45 @@ object PipelineOps {
   private val TopKPerLang = 100
   private val QualityGate = 0.5
   private val SamplePerLang = 50
+  private val BpeMerges = 4 // pipe_bpe_apply: learned+applied merges
+
+  /** pipe_bpe_apply step 0: the word-frequency table as
+    * double-separator symbol sequences ("␣␣s1␣␣s2␣␣…␣␣sN␣␣", one char
+    * per symbol before any merge). The ONLY corpus-sized stage — every
+    * later step is vocabulary-sized. */
+  private[graft] def bpeSeq0(s: SparkSession, d: String) =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(
+        concat(lit("  "), array_join(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "), lit("  ")).as("seq"),
+        col("c"))
+
+  /** One BPE learn-and-apply step over a pinned (seq, c) frame:
+    * returns (the 1-row argmax merge (l, r, cnt), the merged frame).
+    * Split out of the key so NewOpsSpec can observe each step's
+    * learned merge without the query path collecting anything. */
+  private[graft] def bpeStep(st: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val m = st
+      .select(col("c"),
+        expr("filter(split(seq, '  '), x -> x <> '')").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), j -> struct(" +
+          "element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+    val merged = st.crossJoin(broadcast(m.select(col("l"), col("r"))))
+      .select(expr("replace(seq, ' ' || l || '  ' || r || ' ', " +
+        "' ' || l || r || ' ')").as("seq"), col("c"))
+    (m, merged)
+  }
 
   /** Parameterized body of `pipe_pack_sequences` — the two-level
     * bucketed prefix sum (the etl_shard_assign / stream_late_data
@@ -270,6 +309,43 @@ object PipelineOps {
           .as("bg"))
         .groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("bg")).limit(20)
+    }),
+
+    // The BPE iteration pipe_bpe_pairs' scaladoc promises, made
+    // executable end-to-end (r12, VERDICT r11 #7): LEARN-AND-APPLY
+    // BpeMerges merges over the word-frequency table, then report the
+    // top-20 weighted symbols of the merged vocabulary. Each step is
+    // VOCABULARY-sized — the corpus crosses the wire exactly once to
+    // build (word, count); after that a step is (1) adjacent-pair
+    // count over symbol sequences (one vocab-sized hash agg, map-side
+    // combinable), (2) the argmax merge as a 1-row broadcast
+    // (deterministic tie-break cnt DESC, l, r), (3) a map-side string
+    // replace. Greedy left-to-right merge application is EXACT and
+    // engine-portable via the double-separator encoding: a sequence is
+    // "␣␣s1␣␣s2␣␣…␣␣sN␣␣"; merging (l, r) replaces "␣l␣␣r␣" with
+    // "␣lr␣". Because the pattern consumes ONE space of each boundary
+    // and the replacement restores it, leftmost-nonoverlapping
+    // replace (identical semantics in Spark and DuckDB) merges
+    // repeated-symbol runs exactly like tokenizer-greedy BPE ("a a a a
+    // a" → "aa aa a"), and the double boundary makes a multi-char
+    // symbol unable to false-match a neighbor's prefix/suffix. The
+    // per-step frame is pinned (each step reads its predecessor twice
+    // — pair count + replace; unpinned the lineage re-executes
+    // 2^BpeMerges times, the CC/PageRank round discipline). A merged
+    // pair can never REAPPEAR in later steps (symbols between two
+    // symbols only ever merge INTO one of them, changing its
+    // identity), so one pass per merge is the whole algorithm —
+    // NewOpsSpec asserts that no learned pair survives anywhere in
+    // the final sequences. Oracle: the same steps as unrolled CTEs.
+    "pipe_bpe_apply" -> ((s: SparkSession, d: String) => {
+      val fin = (1 to BpeMerges).foldLeft(bpeSeq0(s, d)) {
+        (cur, _) => bpeStep(pin(cur))._2
+      }
+      fin
+        .select(col("c"),
+          explode(expr("filter(split(seq, '  '), x -> x <> '')")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym")).limit(20)
     }),
 
     "pipe_training_mix" -> ((s: SparkSession, d: String) => {
@@ -608,6 +684,33 @@ object PipelineOps {
         "SELECT substr(w, CAST(i AS INT), 2) AS bg, " +
         "CAST(sum(c) AS BIGINT) AS cnt FROM pos " +
         "GROUP BY 1 ORDER BY cnt DESC, bg LIMIT 20"),
+    // BpeMerges unrolled learn-and-apply steps; each step's pair
+    // count, argmax merge, and double-separator replace mirror the
+    // engine's loop body verbatim (same tie-break, same encoding).
+    "pipe_bpe_apply" ->
+      ("WITH words AS (SELECT w, count(*) AS c FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS w FROM documents) t " +
+        "WHERE len(w) >= 1 GROUP BY w), " +
+        "w0 AS (SELECT '  ' || array_to_string(list_transform(" +
+        "range(1, len(w) + 1), i -> w[i]), '  ') || '  ' AS seq, c " +
+        "FROM words), " +
+        (1 to BpeMerges).map { i =>
+          s"p$i AS (SELECT p.l AS l, p.r AS r, " +
+            "CAST(sum(c) AS BIGINT) AS cnt FROM (" +
+            "SELECT unnest(list_transform(range(1, len(syms)), " +
+            "j -> {'l': syms[j], 'r': syms[j + 1]})) AS p, c FROM (" +
+            "SELECT list_filter(string_split(seq, '  '), " +
+            s"x -> x <> '') AS syms, c FROM w${i - 1}) " +
+            "WHERE len(syms) >= 2) GROUP BY 1, 2), " +
+            s"m$i AS (SELECT l, r FROM p$i " +
+            "ORDER BY cnt DESC, l, r LIMIT 1), " +
+            s"w$i AS (SELECT replace(seq, ' ' || l || '  ' || r || ' ', " +
+            s"' ' || l || r || ' ') AS seq, c FROM w${i - 1}, m$i), "
+        }.mkString +
+        "fin AS (SELECT unnest(list_filter(string_split(seq, '  '), " +
+        s"x -> x <> '')) AS sym, c FROM w$BpeMerges) " +
+        "SELECT sym, CAST(sum(c) AS BIGINT) AS cnt FROM fin " +
+        "GROUP BY sym ORDER BY cnt DESC, sym LIMIT 20"),
     "pipe_training_mix" ->
       ("WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(lower(trim(text)))), " +

@@ -545,4 +545,115 @@ class NewOpsSpec extends SparkTestBase {
     assert(got == expect, s"bm25 top-20 diverges: got ${got.take(3)} " +
       s"expect ${expect.take(3)}")
   }
+
+  test("pipe_bpe_apply: step-1 merge round-trips pipe_bpe_pairs' " +
+    "top-1, and no learned pair survives application (r12)") {
+    // Round-trip (VERDICT r11 #7): at step 0 every symbol is one char,
+    // so bpeStep's pair argmax (cnt DESC, l, r) and pipe_bpe_pairs'
+    // bigram argmax (cnt DESC, bg = l || r) are the SAME ordering —
+    // the first learned merge must be exactly the promised next-merge
+    // candidate, count included.
+    import graft.operators.PipelineOps
+    val top = SparkEntry.queries("pipe_bpe_pairs")(spark, sf).head()
+    var cur = PipelineOps.bpeSeq0(spark, sf)
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    for (_ <- 1 to 4) {
+      val (m, next) = PipelineOps.bpeStep(graft.Tables.pin(cur))
+      val row = m.head()
+      if (merges.isEmpty) {
+        assert(row.getString(0) + row.getString(1) == top.getString(0),
+          s"first merge ${row.getString(0)}+${row.getString(1)} != " +
+            s"pipe_bpe_pairs top-1 ${top.getString(0)}")
+        assert(row.getLong(2) == top.getLong(1),
+          s"first-merge count ${row.getLong(2)} != ${top.getLong(1)}")
+      }
+      merges += ((row.getString(0), row.getString(1)))
+      cur = next
+    }
+    // Application completeness: one replace pass per merge is the
+    // whole algorithm BECAUSE a merged pair can never reappear later
+    // (symbols between two symbols only merge INTO one of them). So
+    // after all k merges, none of the learned (l, r) pairs may remain
+    // adjacent in ANY final sequence.
+    val finalPairs = graft.Tables.pin(cur)
+      .select(org.apache.spark.sql.functions.expr(
+        "filter(split(seq, '  '), x -> x <> '')").as("syms"))
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("syms")) >= 2)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, size(syms) - 1), j -> struct(" +
+            "element_at(syms, j) AS l, element_at(syms, j + 1) AS r))"))
+        .as("p"))
+      .select("p.l", "p.r").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    merges.foreach { m =>
+      assert(!finalPairs.contains(m),
+        s"learned merge $m still adjacent after application")
+    }
+  }
+
+  test("pipe_bpe_apply matches an independent Scala greedy-BPE " +
+    "reference on a run-heavy corpus (r12)") {
+    // Independent formulation: learn-and-apply k merges over symbol
+    // VECTORS with explicit leftmost-greedy in-word merging — no
+    // string encoding, no replace. The corpus is built to hit the
+    // overlap edge cases the double-separator encoding must get
+    // right: odd/even runs of a repeated symbol ("aaaaa" -> greedy
+    // "aa aa a"), merged symbols abutting their own constituents.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_ref").toString
+    val texts = Seq(
+      "aaaaa aaaa aaa banana bandana",
+      "aaaaa abab ababab aab baa",
+      "banana banana cabana aaaa")
+    val ss = spark
+    import ss.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // reference: word table
+    val wordCounts = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => (w, o.size.toLong) }
+    var seqs: Map[Vector[String], Long] = wordCounts
+      .groupBy { case (w, _) => w.map(_.toString).toVector }
+      .map { case (v, ws) => (v, ws.values.sum) }
+    def mergeWord(v: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == l && v(i + 1) == r) {
+          out += (l + r); i += 2 // leftmost-greedy: consume both
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    for (_ <- 1 to 4) {
+      val pc = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      seqs.foreach { case (v, c) =>
+        v.indices.dropRight(1).foreach { i =>
+          pc((v(i), v(i + 1))) += c
+        }
+      }
+      if (pc.nonEmpty) {
+        val (l, r) = pc.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }._1
+        seqs = seqs.toSeq
+          .map { case (v, c) => (mergeWord(v, l, r), c) }
+          .groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }
+      }
+    }
+    val expect = seqs.toSeq
+      .flatMap { case (v, c) => v.map(sym => (sym, c)) }
+      .groupBy(_._1).map { case (sym, g) => (sym, g.map(_._2).sum) }
+      .toSeq.sortBy { case (sym, c) => (-c, sym) }.take(20)
+
+    val got = SparkEntry.queries("pipe_bpe_apply")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect,
+      s"bpe_apply diverges from the greedy reference:\n got    $got\n expect $expect")
+  }
 }

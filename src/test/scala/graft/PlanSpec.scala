@@ -241,12 +241,15 @@ class PlanSpec extends SparkTestBase {
     //    group-count-sized (≤4-row) grouped frame
     //  - pipe_oversample: 1×L broadcast of the 1-row majority-class
     //    target onto the language-count-sized counts frame
+    //  - pipe_bpe_apply: per learn-apply step, a 1×V broadcast of the
+    //    1-row argmax merge (l, r) onto the vocabulary-sized word
+    //    table — one scalar row per step by construction (LIMIT 1)
     val bnljAllowed = Set("join_cross", "join_range", "join_theta_band",
       "knn_cosine", "knn_ann_srp", "knn_ivf", "knn_graph_ivf",
       "agg_heavy_hitters", "text_lm_score", "text_tfidf_top",
       "pipe_dataset_card", "search_rrf_hybrid", "pipe_mix_temperature",
       "etl_fk_audit", "sample_split_time", "search_bm25", "agg_ttest",
-      "pipe_oversample")
+      "pipe_oversample", "pipe_bpe_apply")
     val cartesianAllowed = Set("join_cross")
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val p = plan(k)
