@@ -20,11 +20,14 @@ class DeterminismSpec extends SparkTestBase {
   // family: decimal money sums, second moments, fixed-point iterative
   // PageRank, the partial-merge rollup, a float-derived round6, and
   // (r11) exact percentile buffers (agg_mad), rank-tie algebra under
-  // re-partitioned sort windows (agg_gini), iterative min-label
-  // propagation (graph_cc), and integer-division scoring (search_bm25).
+  // the two-level prefix-sum rank (agg_gini, r12 form), iterative
+  // min-label propagation (graph_cc), integer-division scoring
+  // (search_bm25), and (r12) the iterated argmax-merge chain
+  // (pipe_bpe_apply: 4 BIGINT pair-count argmaxes, each feeding the
+  // next step's input — any merge-order sensitivity compounds).
   for (key <- Seq("agg_groupby", "agg_stats_exact", "graph_pagerank",
       "etl_incremental_agg", "text_quality", "agg_mad", "agg_gini",
-      "graph_cc", "search_bm25")) {
+      "graph_cc", "search_bm25", "pipe_bpe_apply")) {
     test(s"$key is invariant to the shuffle partition count") {
       val conf = "spark.sql.shuffle.partitions"
       val before = spark.conf.get(conf)
