@@ -189,8 +189,18 @@ object Tables {
   def groupPercentile(s: SparkSession, e: String, p: Double): Column =
     s.conf.getOption("spark.graft.agg.approxPercentile") match {
       case Some(acc) if acc.trim.nonEmpty =>
-        percentile_approx(expr(e), lit(p), lit(acc.trim.toInt))
-          .cast("double")
+        // Validate HERE, naming the conf key: a bare toInt would throw
+        // a keyless NumberFormatException from deep inside plan build
+        // on natural spellings like "1e4" or "10000.0", and 0/-1 would
+        // fail later inside percentile_approx (r12 self-review).
+        val a = try acc.trim.toDouble.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.agg.approxPercentile must be a positive " +
+              s"integer accuracy (e.g. 10000), got '$acc'")
+        }
+        require(a > 0, "spark.graft.agg.approxPercentile must be a " +
+          s"positive integer accuracy (e.g. 10000), got '$acc'")
+        percentile_approx(expr(e), lit(p), lit(a)).cast("double")
       case _ => expr(s"percentile($e, $p)")
     }
 

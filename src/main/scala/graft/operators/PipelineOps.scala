@@ -72,9 +72,16 @@ object PipelineOps {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-    val merged = st.crossJoin(broadcast(m.select(col("l"), col("r"))))
-      .select(expr("replace(seq, ' ' || l || '  ' || r || ' ', " +
-        "' ' || l || r || ' ')").as("seq"), col("c"))
+    // LEFT join on TRUE, not crossJoin: when a step finds NO adjacent
+    // pair (fully-merged or all-single-symbol vocabulary), the argmax
+    // frame is EMPTY and a cross join would silently wipe the dataset;
+    // the step must instead be a no-op (r12 self-review). The oracle
+    // mirrors with LEFT JOIN ON TRUE + CASE.
+    val merged = st.join(broadcast(m.select(col("l"), col("r"))),
+        lit(true), "left")
+      .select(when(col("l").isNull, col("seq"))
+        .otherwise(expr("replace(seq, ' ' || l || '  ' || r || ' ', " +
+          "' ' || l || r || ' ')")).as("seq"), col("c"))
     (m, merged)
   }
 
@@ -704,8 +711,10 @@ object PipelineOps {
             "WHERE len(syms) >= 2) GROUP BY 1, 2), " +
             s"m$i AS (SELECT l, r FROM p$i " +
             "ORDER BY cnt DESC, l, r LIMIT 1), " +
-            s"w$i AS (SELECT replace(seq, ' ' || l || '  ' || r || ' ', " +
-            s"' ' || l || r || ' ') AS seq, c FROM w${i - 1}, m$i), "
+            s"w$i AS (SELECT CASE WHEN l IS NULL THEN seq ELSE " +
+            "replace(seq, ' ' || l || '  ' || r || ' ', " +
+            s"' ' || l || r || ' ') END AS seq, c " +
+            s"FROM w${i - 1} LEFT JOIN m$i ON TRUE), "
         }.mkString +
         "fin AS (SELECT unnest(list_filter(string_split(seq, '  '), " +
         s"x -> x <> '')) AS sym, c FROM w$BpeMerges) " +

@@ -340,9 +340,13 @@ object TextSimOps {
   private[graft] def expandContainmentSorted(rp: DataFrame,
       grp: DataFrame): DataFrame = {
     // rep → ascending member list; sort_array makes the payload
-    // deterministic (collect_list order is partition-dependent)
+    // deterministic (collect_list order is partition-dependent).
+    // Pinned: mem sits under BOTH union branches, and exchange reuse
+    // alone leaves the reduce-side collect_list/sort_array agg running
+    // twice per action (r12 self-review).
     val mem = grp.groupBy(col("rep"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .pinned
     // pinned: the range exchange's bound sampling re-runs everything
     // beneath it; rp is the candidate-pair frame (0.8 M skinny rows at
     // sf0.1), the cheapest point to cut the resample

@@ -656,4 +656,25 @@ class NewOpsSpec extends SparkTestBase {
     assert(got == expect,
       s"bpe_apply diverges from the greedy reference:\n got    $got\n expect $expect")
   }
+
+  test("pipe_bpe_apply: a merge-exhausted step is a no-op, not a " +
+    "dataset wipe (r12 self-review)") {
+    // Every word is "ab": step 1 merges (a, b) and leaves every
+    // sequence single-symbol, so steps 2-4 find NO adjacent pair.
+    // The empty argmax frame must no-op (LEFT JOIN ON TRUE), not
+    // empty the dataset the way a cross join would — the oracle
+    // unrolled the same shape, so the parity gate alone could never
+    // catch the wipe.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_exhaust").toString
+    val ss = spark
+    import ss.implicits._
+    Seq((0L, "ab ab ab"), (1L, "ab ab"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("pipe_bpe_apply")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 5L)),
+      s"exhausted-merge corpus must yield the merged symbol, got $got")
+  }
 }

@@ -128,10 +128,17 @@ class RewriteEquivalenceSpec extends SparkTestBase {
     val ss = spark
     import ss.implicits._
     val dense = (0L until 120L).map { id =>
-      // 12 distinct token sets over a 20-word vocabulary, each set
-      // shared by 10 docs → every mask group has 10 members
-      val words = (0 until 6).map(j => s"w${(id % 12 + j * 2) % 20}")
-      (id, words.distinct.mkString(" "))
+      // 12 NESTED token sets (mask g = w0..w(g+2), sizes 3..14), each
+      // shared by 10 docs → every mask group has 10 members (intra
+      // cliques) AND every smaller mask is a proper subset of every
+      // larger one, so CROSS-group containment pairs exist by
+      // construction (C = 1 from the smaller side) — the r12
+      // self-review found the previous equal-size distinct masks
+      // could never produce a cross pair at C ≥ 0.95, leaving the
+      // cross/intra interleaving this test targets unexercised.
+      val g = id % 12
+      val words = (0 to (g + 2).toInt).map(j => s"w$j")
+      (id, words.mkString(" "))
     }
     val dir = Files.createTempDirectory("graft_contsort").toString
     dense.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
@@ -145,6 +152,10 @@ class RewriteEquivalenceSpec extends SparkTestBase {
       val uniq = operators.TextSimOps.maskUniq(bd).pinned
       val grp = operators.TextSimOps.maskMembers(bd, uniq)
       def rp() = operators.TextSimOps.bitsetContainmentPairs(uniq, 95)
+      if (corpus != sf)
+        assert(rp().limit(1).count() == 1,
+          "dense corpus produced no CROSS-group candidate pairs — " +
+            "the interleaving under test is not exercised")
       val want = operators.TextSimOps.expandContainment(rp(), grp)
         .orderBy("da", "db").collect().toSeq
       val got = operators.TextSimOps.expandContainmentSorted(rp(), grp)
