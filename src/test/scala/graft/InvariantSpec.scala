@@ -163,6 +163,48 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("groupPercentile sketch path: the two pipe callers keep schema " +
+    "and drift boundedly (r12)") {
+    // Completes the #6 evidence: ALL FOUR groupPercentile callers are
+    // exercised down the sketch path, not just the agg pair.
+    // pipe_dataset_card: only q_p50 flows through the percentile, so
+    // every other column must be EXACTLY equal and q_p50 within 5%.
+    // pipe_quality_cut: the p75 threshold gates the kept set, so the
+    // integer outcomes may shift — bound thr at 5% and kept at 15%
+    // relative per language.
+    def run(k: String) = SparkEntry.queries(k)(spark, sf)
+    val cardE = run("pipe_dataset_card").collect()
+    val cutE = run("pipe_quality_cut").collect()
+    spark.conf.set("spark.graft.agg.approxPercentile", "100")
+    try {
+      val cardS = run("pipe_dataset_card")
+      assert(cardS.schema == run("pipe_dataset_card").schema)
+      val (ce, cs) = (cardE.head, cardS.collect().head)
+      ce.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.name == "q_p50") {
+          val (e, a) = (ce.getDouble(i), cs.getDouble(i))
+          assert(math.abs(a - e) <= 0.05 * math.abs(e).max(1e-9),
+            s"q_p50 sketch $a vs exact $e")
+        } else assert(ce.get(i) == cs.get(i),
+          s"${f.name} must be percentile-independent: ${cs.get(i)} " +
+            s"vs ${ce.get(i)}")
+      }
+      val cutS = run("pipe_quality_cut").collect()
+      assert(cutS.length == cutE.length)
+      cutE.zip(cutS).foreach { case (e, a) =>
+        assert(e.getString(0) == a.getString(0), "lang order drift")
+        val (te, ta) = (e.getDouble(e.fieldIndex("thr")),
+          a.getDouble(a.fieldIndex("thr")))
+        assert(math.abs(ta - te) <= 0.05 * math.abs(te).max(1e-9),
+          s"${e.getString(0)} thr sketch $ta vs exact $te")
+        val (ke, ka) = (e.getLong(e.fieldIndex("kept")),
+          a.getLong(a.fieldIndex("kept")))
+        assert(math.abs(ka - ke) <= 0.15 * ke.max(1L),
+          s"${e.getString(0)} kept sketch $ka vs exact $ke")
+      }
+    } finally spark.conf.unset("spark.graft.agg.approxPercentile")
+  }
+
   test("agg_mad emits NULL max_robust_z when MAD is 0 (ADVICE r11)") {
     // A group where ≥50% of values are identical has MAD 0; the old
     // finish divided by it, and Spark's floor-based round6 collapsed
