@@ -15,6 +15,79 @@ import graft.Tables._
   * count, 6) — exact numerator, deterministic IEEE division.
   */
 object AggOps {
+  /** Exact linear-interpolation percentiles over a NON-NEGATIVE
+    * integer-domain value column WITHOUT percentile()'s one-reducer
+    * buffering contract (r12 — the last single-reducer shape in the
+    * agg family, removed the same way agg_gini's rank was): rows
+    * hash-collapse to (group, value, cnt) tie blocks (the only
+    * row-scaled shuffle, map-side combinable); the EXCLUSIVE running
+    * count per block comes from the etl_shard_assign two-level
+    * bucketed prefix sum (a (group, bucket)-keyed window in parallel
+    * across buckets + a bucket-count-sized offset table — only that
+    * dimension-sized table ever sorts per group); each requested rank
+    * then SELECTS its boundary block with a range predicate and one
+    * hash agg finishes. Interpolates as (1-f)·lo + f·hi — the
+    * definition percentile()/quantile_cont share — so the result is
+    * the same exact order statistic, now computable at any group
+    * width. Input: (grp, v BIGINT ≥ 0); nulls are ignored like
+    * percentile(). Output: one row per group — `n` (the non-null
+    * count, free from the prefix-sum table) plus one DOUBLE per
+    * requested (alias, p). */
+  private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
+      grp: String, ps: Seq[(String, Double)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = vals0.where(col("v").isNotNull)
+      .groupBy(col(grp), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bk", expr("v div 65536"))
+    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(grp).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.groupBy(col(grp), col("bk"))
+      .agg(sum(col("cnt")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col(grp), col("bk"), col("off"))
+    val ntab = vals.groupBy(col(grp)).agg(sum(col("cnt")).as("n"))
+    val cum = vals
+      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .join(broadcast(offs), Seq(grp, "bk"))
+      .withColumn("cprev", col("off") + col("lprev"))
+      .join(broadcast(ntab), Seq(grp))
+    val withPos = ps.foldLeft(cum) { case (df, (a, p)) =>
+      df.withColumn(s"pos_$a", lit(p) * (col("n") - 1).cast("double"))
+        .withColumn(s"rlo_$a", floor(col(s"pos_$a")) + 1)
+        .withColumn(s"rhi_$a", ceil(col(s"pos_$a")) + 1)
+    }
+    val aggs = ps.flatMap { case (a, _) => Seq(
+      max(when(col("cprev") < col(s"rlo_$a") &&
+        col(s"rlo_$a") <= col("cprev") + col("cnt"), col("v")))
+        .as(s"vlo_$a"),
+      max(when(col("cprev") < col(s"rhi_$a") &&
+        col(s"rhi_$a") <= col("cprev") + col("cnt"), col("v")))
+        .as(s"vhi_$a"),
+      max(col(s"pos_$a") - floor(col(s"pos_$a")).cast("double"))
+        .as(s"f_$a"))
+    }
+    val fins = ps.map { case (a, _) =>
+      ((lit(1.0) - col(s"f_$a")) * col(s"vlo_$a").cast("double") +
+        col(s"f_$a") * col(s"vhi_$a").cast("double")).as(a)
+    }
+    // n and vmax ride the same final agg for free — the prefix-sum
+    // table holds every distinct value, so callers needing the group
+    // max (agg_mad's maxdev) don't re-scan the corpus.
+    withPos.groupBy(col(grp))
+      .agg(max(col("n")).as("n"), (max(col("v")).as("vmax") +: aggs): _*)
+      .select(col(grp) +: col("n") +: col("vmax") +: fins: _*)
+  }
+
+  /** True when spark.graft.agg.approxPercentile selects the GK-sketch
+    * path for the percentile family (Tables.groupPercentile). */
+  private def sketchOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.agg.approxPercentile")
+      .exists(_.trim.nonEmpty)
+
   private def groupedCube(s: SparkSession, d: String, mode: String) = {
     val li = t(s, d, "lineitem")
     val base = mode match {
@@ -104,15 +177,27 @@ object AggOps {
     // Exact per-group quantiles: median/p90 via linear interpolation —
     // Spark percentile() and DuckDB quantile_cont() share the
     // (1-f)·lo + f·hi definition; round6 absorbs any last-ulp skew.
-    // groupPercentile (r12) is the audited primitive: the declared
-    // scale path (agg_approx_percentile's GK sketch) is one config
-    // flip, not a rewrite.
+    // r12: the exact path is COUNT-BASED ([[countPercentiles]] over
+    // the cents domain — tie blocks + two-level prefix sum + rank
+    // range-selection), byte-equal to percentile() (InvariantSpec)
+    // with NO one-reducer value buffering at any group width; the
+    // spark.graft.agg.approxPercentile conf still selects the
+    // mergeable GK sketch (groupPercentile) when a sketch is wanted.
     "agg_percentile" -> ((s: SparkSession, d: String) =>
-      t(s, d, "orders")
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round6(groupPercentile(s, "o_totalprice", 0.5)).as("p50"),
-          round6(groupPercentile(s, "o_totalprice", 0.9)).as("p90"))
+      (if (sketchOn(s))
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round6(groupPercentile(s, "o_totalprice", 0.5)).as("p50"),
+            round6(groupPercentile(s, "o_totalprice", 0.9)).as("p90"))
+      else
+        countPercentiles(
+          t(s, d, "orders").select(col("o_orderstatus"),
+            (dec2(col("o_totalprice")) * 100).cast("long").as("v")),
+          "o_orderstatus", Seq(("p50c", 0.5), ("p90c", 0.9)))
+          .select(col("o_orderstatus"),
+            round6(col("p50c") / 100.0).as("p50"),
+            round6(col("p90c") / 100.0).as("p90")))
         .orderBy("o_orderstatus")),
 
     // Mode (most frequent value) per group, deterministic tie-break to
@@ -334,34 +419,62 @@ object AggOps {
     // doubles (integers and .5/.25 steps < 2⁵³) and both engines emit
     // identical bits. Two passes: (1) per-group exact median, (2) the
     // group-count-sized median dim broadcast back, deviations
-    // aggregated. Scale note: exact percentile buffers each group's
-    // values on one reducer — the contract of an EXACT robust stat; at
-    // 100 TB per-group cardinality set
-    // spark.graft.agg.approxPercentile=<accuracy> and BOTH percentile
-    // stages switch to the mergeable GK sketch (same two-pass shape,
-    // bounded memory — groupPercentile, r12; divergence bounded in
-    // InvariantSpec). max_robust_z emits NULL when MAD = 0 (a ≥50%-
-    // constant group; ADVICE r11 — division would produce Infinity,
-    // which the engines round incompatibly), via nullif in the shared
-    // finish string.
+    // aggregated. Scale note (r12): BOTH exact percentile stages run
+    // COUNT-BASED ([[countPercentiles]] — no per-group value buffering
+    // at any width; the deviation stage stays integral by doubling:
+    // dev2 = |2·xc − 2·med| is BIGINT because a p=0.5 interpolation
+    // over integers lands on halves, and halving the interpolated
+    // dev2 percentile back is an exact power-of-2 scaling, so the
+    // result is bit-equal to percentile() over |xc − med| — asserted
+    // in InvariantSpec). spark.graft.agg.approxPercentile=<accuracy>
+    // still switches both stages to the mergeable GK sketch
+    // (groupPercentile; divergence bounded in InvariantSpec).
+    // max_robust_z emits NULL when MAD = 0 (a ≥50%-constant group;
+    // ADVICE r11 — division would produce Infinity, which the engines
+    // round incompatibly), via nullif in the shared finish string.
     "agg_mad" -> ((s: SparkSession, d: String) => {
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), xc.as("xc"))
-      val med = base.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          groupPercentile(s, "xc", 0.5).as("med"))
-      base.join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"), col("n"), col("med"),
-          abs(col("xc").cast("double") - col("med")).as("dev"))
-        .groupBy(col("l_returnflag"), col("n"), col("med"))
-        .agg(groupPercentile(s, "dev", 0.5).as("mad"),
-          max(col("dev")).as("maxdev"))
-        .select(col("l_returnflag"), col("n"),
-          round6(col("med") / 100.0).as("median"),
-          round6(col("mad") / 100.0).as("mad"),
-          round6(expr(madRobustZSql)).as("max_robust_z"))
-        .orderBy("l_returnflag")
+      if (sketchOn(s)) {
+        val med = base.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            groupPercentile(s, "xc", 0.5).as("med"))
+        base.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), col("n"), col("med"),
+            abs(col("xc").cast("double") - col("med")).as("dev"))
+          .groupBy(col("l_returnflag"), col("n"), col("med"))
+          .agg(groupPercentile(s, "dev", 0.5).as("mad"),
+            max(col("dev")).as("maxdev"))
+          .select(col("l_returnflag"), col("n"),
+            round6(col("med") / 100.0).as("median"),
+            round6(col("mad") / 100.0).as("mad"),
+            round6(expr(madRobustZSql)).as("max_robust_z"))
+          .orderBy("l_returnflag")
+      } else {
+        // pinned: the group-count-sized median dim feeds BOTH the
+        // deviation pass and the final attach — unpinned, its
+        // corpus-scanning subtree would execute twice
+        val med = pin(countPercentiles(
+          base.select(col("l_returnflag"), col("xc").as("v")),
+          "l_returnflag", Seq(("med", 0.5))))
+        val dev2 = base.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"), col("med"),
+            abs(col("xc") * 2 - (col("med") * 2).cast("long")).as("v"))
+        countPercentiles(
+            dev2.select(col("l_returnflag"), col("v")),
+            "l_returnflag", Seq(("mad2", 0.5)))
+          .select(col("l_returnflag"), col("n"),
+            (col("vmax") / lit(2.0)).as("maxdev"),
+            (col("mad2") / lit(2.0)).as("mad"))
+          .join(broadcast(med.select(col("l_returnflag"), col("med"))),
+            "l_returnflag")
+          .select(col("l_returnflag"), col("n"),
+            round6(col("med") / 100.0).as("median"),
+            round6(col("mad") / 100.0).as("mad"),
+            round6(expr(madRobustZSql)).as("max_robust_z"))
+          .orderBy("l_returnflag")
+      }
     }),
 
     // Gini coefficient per group — the concentration/inequality

@@ -142,7 +142,11 @@ class InvariantSpec extends SparkTestBase {
       spark.conf.set("spark.graft.agg.approxPercentile", "100")
       try {
         val sk = run(k)
-        assert(sk.schema == exact.schema,
+        // (name, dataType) — nullability is plan metadata, not part of
+        // the output contract (count(lit(1)) is non-nullable where the
+        // count-based path's summed n is nullable; values identical)
+        assert(sk.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          exact.schema.fields.map(f => (f.name, f.dataType)).toSeq,
           s"$k: sketch path changed the schema — " +
             s"${sk.schema.simpleString} vs ${exact.schema.simpleString}")
         val skRows = sk.collect()
@@ -203,6 +207,28 @@ class InvariantSpec extends SparkTestBase {
           s"${e.getString(0)} kept sketch $ka vs exact $ke")
       }
     } finally spark.conf.unset("spark.graft.agg.approxPercentile")
+  }
+
+  test("countPercentiles == percentile() byte-for-byte on the " +
+    "agg_percentile shape (r12)") {
+    // The count-based exact percentile (tie blocks + two-level prefix
+    // sum + rank range-selection) must reproduce percentile()'s
+    // round6'd output exactly — same order statistic, same
+    // (1-f)·lo + f·hi interpolation, no one-reducer buffering.
+    import graft.operators.AggOps
+    import graft.Tables.{t, dec2, round6}
+    val want = SparkEntry.queries("agg_percentile")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val vals = t(spark, sf, "orders").select(col("o_orderstatus"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
+    val got = AggOps.countPercentiles(vals, "o_orderstatus",
+        Seq(("p50c", 0.5), ("p90c", 0.9)))
+      .select(col("o_orderstatus"),
+        round6(col("p50c") / 100.0).as("p50"),
+        round6(col("p90c") / 100.0).as("p90"))
+      .orderBy("o_orderstatus")
+      .collect().map(_.toString).toSeq
+    assert(got == want, s"count-based percentile drifts:\n got  $got\n want $want")
   }
 
   test("agg_mad emits NULL max_robust_z when MAD is 0 (ADVICE r11)") {

@@ -360,8 +360,8 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("agg_gini ranks via the two-level bucketed prefix sum — no " +
-    "row-level group-only window (r12, VERDICT r11 #3)") {
+  test("gini/mad/percentile rank via the two-level bucketed prefix " +
+    "sum — no row-level group-only window (r12, VERDICT r11 #3)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
@@ -380,20 +380,26 @@ class PlanSpec extends SparkTestBase {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         windows(q.plan)
     }.flatten
-    val qe = SparkEntry.queries("agg_gini")(spark, sf).queryExecution
-    val ws = windows(qe.executedPlan)
-    assert(ws.nonEmpty, s"expected window nodes:\n${qe.executedPlan}")
-    ws.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"unpartitioned window in agg_gini:\n${qe.executedPlan}")
-      if (w.partitionSpec.size == 1) {
-        val bucketSized = w.child.collect {
-          case a: HashAggregateExec
-            if a.groupingExpressions.exists(_.toString.contains("bk")) => a
-        }.nonEmpty
-        assert(bucketSized,
-          "group-only window over a non-bucket-collapsed (row-scaled) " +
-            s"input in agg_gini:\n${qe.executedPlan}")
+    // agg_mad and agg_percentile joined the discipline in r12: their
+    // count-based exact percentile (countPercentiles) reuses the same
+    // prefix-sum machinery, so the identical structural assertion
+    // applies to all three.
+    for (key <- Seq("agg_gini", "agg_mad", "agg_percentile")) {
+      val qe = SparkEntry.queries(key)(spark, sf).queryExecution
+      val ws = windows(qe.executedPlan)
+      assert(ws.nonEmpty, s"$key: expected window nodes:\n${qe.executedPlan}")
+      ws.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in $key:\n${qe.executedPlan}")
+        if (w.partitionSpec.size == 1) {
+          val bucketSized = w.child.collect {
+            case a: HashAggregateExec
+              if a.groupingExpressions.exists(_.toString.contains("bk")) => a
+          }.nonEmpty
+          assert(bucketSized,
+            "group-only window over a non-bucket-collapsed (row-scaled) " +
+              s"input in $key:\n${qe.executedPlan}")
+        }
       }
     }
   }
