@@ -84,7 +84,7 @@ object AggOps {
 
   /** True when spark.graft.agg.approxPercentile selects the GK-sketch
     * path for the percentile family (Tables.groupPercentile). */
-  private def sketchOn(s: SparkSession): Boolean =
+  private[graft] def sketchOn(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.agg.approxPercentile")
       .exists(_.trim.nonEmpty)
 

@@ -524,8 +524,20 @@ object PipelineOps {
         .groupBy(md5(lower(trim(col("text")))).as("h"))
         .agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_uniq"))
-      val quant = docs
-        .agg(round6(groupPercentile(s, "q6 / 1000000.0", 0.5)).as("q_p50"))
+      // count-based exact global median of the integral q6 domain
+      // (AggOps.countPercentiles, r12 — prefix-sum parallel across
+      // value buckets even for this single global group); the /1e6
+      // rescale's ulp vs percentile(q6/1e6) is absorbed by round6.
+      // The conf gate still selects the GK sketch.
+      val quant =
+        if (AggOps.sketchOn(s))
+          docs.agg(
+            round6(groupPercentile(s, "q6 / 1000000.0", 0.5)).as("q_p50"))
+        else
+          AggOps.countPercentiles(
+            docs.select(lit(1).as("g"), col("q6").as("v")), "g",
+            Seq(("q6p", 0.5)))
+            .select(round6(col("q6p") / lit(1e6)).as("q_p50"))
       docs.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -590,18 +602,29 @@ object PipelineOps {
     // threshold dim (broadcast) → map-side gate → summary agg; the
     // corpus crosses exactly two lang-keyed shuffles. The threshold is
     // round6'd BEFORE the comparison in both engines, so an
-    // interpolation ulp can never flip a boundary document. The exact
-    // percentile buffers each language's values (ObjectHashAggregate);
-    // at open scale spark.graft.agg.approxPercentile=<accuracy> swaps
-    // in the mergeable GK sketch with the same plan shape
-    // (groupPercentile, r12).
+    // interpolation ulp can never flip a boundary document. r12: the
+    // exact p75 threshold is COUNT-BASED (AggOps.countPercentiles over
+    // the integral quality·10⁶ domain — no per-language value
+    // buffering; the /1e6 rescale ulp vs percentile(quality) is
+    // absorbed by the shared round6); the conf gate still selects the
+    // mergeable GK sketch.
     "pipe_quality_cut" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))
-      val thr = docs.groupBy(col("lang"))
-        .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
-          count(lit(1)).as("n_docs"))
+      val thr =
+        if (AggOps.sketchOn(s))
+          docs.groupBy(col("lang"))
+            .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
+              count(lit(1)).as("n_docs"))
+        else
+          AggOps.countPercentiles(
+            docs.select(col("lang"),
+              floor(col("quality") * lit(1e6) + lit(0.5))
+                .cast("long").as("v")),
+            "lang", Seq(("t6", 0.75)))
+            .select(col("lang"), round6(col("t6") / lit(1e6)).as("thr"),
+              col("n").as("n_docs"))
       docs.join(broadcast(thr), "lang")
         .where(col("quality") >= col("thr"))
         .groupBy(col("lang"))

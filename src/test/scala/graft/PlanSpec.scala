@@ -341,8 +341,14 @@ class PlanSpec extends SparkTestBase {
     //    by bucket COUNT (rows/4096 resp. rows/100), not by rows
     //  - search_rrf_hybrid: rank windows over TakeOrdered-truncated
     //    top-K candidate lists (K = 60)
+    //  - pipe_dataset_card (r12): the GLOBAL count-based median's
+    //    bucket-offset window — the group key is a constant (one
+    //    corpus-wide group), so Catalyst folds the partition spec
+    //    away, and the input is the bucket-count-sized offset table
+    //    BY CONSTRUCTION (its subtree aggregates on bk — the same
+    //    bounded shape the gini/mad/percentile structural test pins)
     val boundedInput = Set("stream_late_data", "etl_shard_assign",
-      "search_rrf_hybrid")
+      "search_rrf_hybrid", "pipe_dataset_card")
     def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
       case w: WindowExec => Seq(w)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
