@@ -187,22 +187,30 @@ object Tables {
     * schema (percentile_approx returns the INPUT type; exact
     * percentile returns DOUBLE). */
   def groupPercentile(s: SparkSession, e: String, p: Double): Column =
-    s.conf.getOption("spark.graft.agg.approxPercentile") match {
-      case Some(acc) if acc.trim.nonEmpty =>
-        // Validate HERE, naming the conf key: a bare toInt would throw
-        // a keyless NumberFormatException from deep inside plan build
-        // on natural spellings like "1e4" or "10000.0", and 0/-1 would
-        // fail later inside percentile_approx (r12 self-review).
-        val a = try acc.trim.toDouble.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"spark.graft.agg.approxPercentile must be a positive " +
-              s"integer accuracy (e.g. 10000), got '$acc'")
-        }
-        require(a > 0, "spark.graft.agg.approxPercentile must be a " +
-          s"positive integer accuracy (e.g. 10000), got '$acc'")
-        percentile_approx(expr(e), lit(p), lit(a)).cast("double")
-      case _ => expr(s"percentile($e, $p)")
-    }
+    if (percentileSketchOn(s)) {
+      val acc = s.conf.get("spark.graft.agg.approxPercentile")
+      // Validate HERE, naming the conf key: a bare toInt would throw
+      // a keyless NumberFormatException from deep inside plan build
+      // on natural spellings like "1e4" or "10000.0", and 0/-1 would
+      // fail later inside percentile_approx (r12 self-review).
+      val a = try acc.trim.toDouble.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.agg.approxPercentile must be a positive " +
+            s"integer accuracy (e.g. 10000), got '$acc'")
+      }
+      require(a > 0, "spark.graft.agg.approxPercentile must be a " +
+        s"positive integer accuracy (e.g. 10000), got '$acc'")
+      percentile_approx(expr(e), lit(p), lit(a)).cast("double")
+    } else expr(s"percentile($e, $p)")
+
+  /** THE single predicate deciding whether the percentile family runs
+    * the GK sketch — shared by [[groupPercentile]] and every
+    * count-based exact caller (r12 self-review: two hand-rolled
+    * copies of this gate could silently drift, splitting the family
+    * across paths under one conf value). */
+  def percentileSketchOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.agg.approxPercentile")
+      .exists(_.trim.nonEmpty)
 
   /** Oracle-side sum helper, mirrored text of [[sumDec]]. */
   def oSumDec(sqlExpr: String): String =

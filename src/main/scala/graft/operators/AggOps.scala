@@ -26,20 +26,30 @@ object AggOps {
     * across buckets + a bucket-count-sized offset table — only that
     * dimension-sized table ever sorts per group); each requested rank
     * then SELECTS its boundary block with a range predicate and one
-    * hash agg finishes. Interpolates as (1-f)·lo + f·hi — the
-    * definition percentile()/quantile_cont share — so the result is
-    * the same exact order statistic, now computable at any group
-    * width. Input: (grp, v BIGINT ≥ 0); nulls are ignored like
-    * percentile(). Output: one row per group — `n` (the non-null
-    * count, free from the prefix-sum table) plus one DOUBLE per
-    * requested (alias, p). */
+    * hash agg finishes. Interpolation happens in the CALLER's domain:
+    * boundary values first rescale as fl(v/scale) — one correctly-
+    * rounded division, bit-identical to the double the oracle's
+    * quantile_cont sees — and then the shared (1-f)·lo + f·hi
+    * definition applies, so the whole chain is the SAME sequence of
+    * IEEE ops as percentile() over the rescaled column (r12
+    * self-review: interpolating in the integer domain and dividing
+    * AFTER adds a rounding step the oracle doesn't share, which can
+    * flip round6 exactly at its half boundary). Input: (grp,
+    * v BIGINT ≥ 0); nulls are ignored for ranks like percentile(),
+    * but `n` counts ALL input rows (count(*) parity — a group whose
+    * values are all NULL still emits its row, with NULL percentiles).
+    * Output: one row per group — n, vmax (the group max, free from
+    * the prefix-sum table), and one DOUBLE per requested (alias, p). */
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
-      grp: String, ps: Seq[(String, Double)])
+      grp: String, ps: Seq[(String, Double)], scale: Double = 1.0)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vals = vals0.where(col("v").isNotNull)
-      .groupBy(col(grp), col("v"))
+    val cnts = vals0.groupBy(col(grp), col("v"))
       .agg(count(lit(1)).as("cnt"))
+    val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
+      coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+        .as("nr"))
+    val vals = cnts.where(col("v").isNotNull)
       .withColumn("bk", expr("v div 65536"))
     val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -49,14 +59,13 @@ object AggOps {
       .agg(sum(col("cnt")).as("btot"))
       .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
       .select(col(grp), col("bk"), col("off"))
-    val ntab = vals.groupBy(col(grp)).agg(sum(col("cnt")).as("n"))
     val cum = vals
       .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
       .join(broadcast(offs), Seq(grp, "bk"))
       .withColumn("cprev", col("off") + col("lprev"))
-      .join(broadcast(ntab), Seq(grp))
+      .join(broadcast(ntab.select(col(grp), col("nr"))), Seq(grp))
     val withPos = ps.foldLeft(cum) { case (df, (a, p)) =>
-      df.withColumn(s"pos_$a", lit(p) * (col("n") - 1).cast("double"))
+      df.withColumn(s"pos_$a", lit(p) * (col("nr") - 1).cast("double"))
         .withColumn(s"rlo_$a", floor(col(s"pos_$a")) + 1)
         .withColumn(s"rhi_$a", ceil(col(s"pos_$a")) + 1)
     }
@@ -71,22 +80,20 @@ object AggOps {
         .as(s"f_$a"))
     }
     val fins = ps.map { case (a, _) =>
-      ((lit(1.0) - col(s"f_$a")) * col(s"vlo_$a").cast("double") +
-        col(s"f_$a") * col(s"vhi_$a").cast("double")).as(a)
+      ((lit(1.0) - col(s"f_$a")) *
+        (col(s"vlo_$a").cast("double") / lit(scale)) +
+        col(s"f_$a") * (col(s"vhi_$a").cast("double") / lit(scale)))
+        .as(a)
     }
-    // n and vmax ride the same final agg for free — the prefix-sum
-    // table holds every distinct value, so callers needing the group
-    // max (agg_mad's maxdev) don't re-scan the corpus.
-    withPos.groupBy(col(grp))
-      .agg(max(col("n")).as("n"), (max(col("v")).as("vmax") +: aggs): _*)
+    val core = withPos.groupBy(col(grp))
+      .agg(max(col("v")).as("vmax"), aggs: _*)
+    // LEFT from the all-groups count table: a group whose values are
+    // all NULL keeps its row (NULL percentiles), matching
+    // count(*) + quantile_cont semantics.
+    ntab.select(col(grp), col("n"))
+      .join(broadcast(core), Seq(grp), "left")
       .select(col(grp) +: col("n") +: col("vmax") +: fins: _*)
   }
-
-  /** True when spark.graft.agg.approxPercentile selects the GK-sketch
-    * path for the percentile family (Tables.groupPercentile). */
-  private[graft] def sketchOn(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.agg.approxPercentile")
-      .exists(_.trim.nonEmpty)
 
   private def groupedCube(s: SparkSession, d: String, mode: String) = {
     val li = t(s, d, "lineitem")
@@ -184,7 +191,7 @@ object AggOps {
     // spark.graft.agg.approxPercentile conf still selects the
     // mergeable GK sketch (groupPercentile) when a sketch is wanted.
     "agg_percentile" -> ((s: SparkSession, d: String) =>
-      (if (sketchOn(s))
+      (if (percentileSketchOn(s))
         t(s, d, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(
@@ -194,10 +201,10 @@ object AggOps {
         countPercentiles(
           t(s, d, "orders").select(col("o_orderstatus"),
             (dec2(col("o_totalprice")) * 100).cast("long").as("v")),
-          "o_orderstatus", Seq(("p50c", 0.5), ("p90c", 0.9)))
+          "o_orderstatus", Seq(("p50", 0.5), ("p90", 0.9)), scale = 100)
           .select(col("o_orderstatus"),
-            round6(col("p50c") / 100.0).as("p50"),
-            round6(col("p90c") / 100.0).as("p90")))
+            round6(col("p50")).as("p50"),
+            round6(col("p90")).as("p90")))
         .orderBy("o_orderstatus")),
 
     // Mode (most frequent value) per group, deterministic tie-break to
@@ -436,7 +443,7 @@ object AggOps {
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), xc.as("xc"))
-      if (sketchOn(s)) {
+      if (percentileSketchOn(s)) {
         val med = base.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             groupPercentile(s, "xc", 0.5).as("med"))
@@ -461,12 +468,14 @@ object AggOps {
         val dev2 = base.join(broadcast(med), "l_returnflag")
           .select(col("l_returnflag"), col("med"),
             abs(col("xc") * 2 - (col("med") * 2).cast("long")).as("v"))
+        // scale = 2: boundary values rescale as fl(dev2/2) = the exact
+        // |xc − med| doubles percentile() would interpolate — identical
+        // IEEE chain, no post-hoc halving of the interpolant
         countPercentiles(
             dev2.select(col("l_returnflag"), col("v")),
-            "l_returnflag", Seq(("mad2", 0.5)))
+            "l_returnflag", Seq(("mad", 0.5)), scale = 2)
           .select(col("l_returnflag"), col("n"),
-            (col("vmax") / lit(2.0)).as("maxdev"),
-            (col("mad2") / lit(2.0)).as("mad"))
+            (col("vmax") / lit(2.0)).as("maxdev"), col("mad"))
           .join(broadcast(med.select(col("l_returnflag"), col("med"))),
             "l_returnflag")
           .select(col("l_returnflag"), col("n"),

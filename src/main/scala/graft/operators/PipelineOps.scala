@@ -517,27 +517,29 @@ object PipelineOps {
         // floor(q·10⁶ + 0.5) — integral in IEEE, so the long cast is
         // exact in BOTH engines (a bare double→long cast truncates in
         // Spark but ROUNDS in DuckDB — never cast a non-integral double)
-        .withColumn("q6",
-          floor(TextAnalysisOps.qualityCol * lit(1e6) + lit(0.5))
-            .cast("long"))
+        .withColumn("q6", TextAnalysisOps.q6Col)
       val dups = docs
         .groupBy(md5(lower(trim(col("text")))).as("h"))
         .agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_uniq"))
       // count-based exact global median of the integral q6 domain
       // (AggOps.countPercentiles, r12 — prefix-sum parallel across
-      // value buckets even for this single global group); the /1e6
-      // rescale's ulp vs percentile(q6/1e6) is absorbed by round6.
+      // value buckets even for this single global group). scale = 1e6:
+      // boundary values rescale as fl(q6/1e6) — the exact quality
+      // doubles percentile() would interpolate, so the IEEE chain is
+      // identical to the oracle's quantile_cont (r12 self-review: an
+      // integer-domain interpolation divided AFTER would add a
+      // rounding step that can flip round6 at its half boundary).
       // The conf gate still selects the GK sketch.
       val quant =
-        if (AggOps.sketchOn(s))
+        if (percentileSketchOn(s))
           docs.agg(
             round6(groupPercentile(s, "q6 / 1000000.0", 0.5)).as("q_p50"))
         else
           AggOps.countPercentiles(
             docs.select(lit(1).as("g"), col("q6").as("v")), "g",
-            Seq(("q6p", 0.5)))
-            .select(round6(col("q6p") / lit(1e6)).as("q_p50"))
+            Seq(("q6p", 0.5)), scale = 1e6)
+            .select(round6(col("q6p")).as("q_p50"))
       docs.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
@@ -546,7 +548,11 @@ object PipelineOps {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("q6")).as("sum_q6"))
         .crossJoin(broadcast(dups))
-        .crossJoin(broadcast(quant))
+        // LEFT on TRUE, not crossJoin: an empty/all-NULL-quality corpus
+        // leaves quant EMPTY on the count path, and a cross join would
+        // annihilate the one-row card instead of emitting NULL q_p50
+        // (r12 self-review; the sketch path aggregates to 1 row always)
+        .join(broadcast(quant), lit(true), "left")
         .select(col("n_docs"), col("n_langs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (col("n_docs") - col("n_uniq")).as("exact_dups"),
@@ -605,25 +611,26 @@ object PipelineOps {
     // interpolation ulp can never flip a boundary document. r12: the
     // exact p75 threshold is COUNT-BASED (AggOps.countPercentiles over
     // the integral quality·10⁶ domain — no per-language value
-    // buffering; the /1e6 rescale ulp vs percentile(quality) is
-    // absorbed by the shared round6); the conf gate still selects the
+    // buffering; scale = 1e6 rescales the boundary values to the
+    // exact quality doubles BEFORE interpolating, so the IEEE chain
+    // is identical to percentile(quality) — r12 self-review); n_docs
+    // is countPercentiles' all-rows n (count(*) parity even when a
+    // doc's quality is NULL). The conf gate still selects the
     // mergeable GK sketch.
     "pipe_quality_cut" -> ((s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))
       val thr =
-        if (AggOps.sketchOn(s))
+        if (percentileSketchOn(s))
           docs.groupBy(col("lang"))
             .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
               count(lit(1)).as("n_docs"))
         else
           AggOps.countPercentiles(
-            docs.select(col("lang"),
-              floor(col("quality") * lit(1e6) + lit(0.5))
-                .cast("long").as("v")),
-            "lang", Seq(("t6", 0.75)))
-            .select(col("lang"), round6(col("t6") / lit(1e6)).as("thr"),
+            docs.select(col("lang"), TextAnalysisOps.q6Col.as("v")),
+            "lang", Seq(("t6", 0.75)), scale = 1e6)
+            .select(col("lang"), round6(col("t6")).as("thr"),
               col("n").as("n_docs"))
       docs.join(broadcast(thr), "lang")
         .where(col("quality") >= col("thr"))

@@ -366,6 +366,15 @@ object TextAnalysisOps {
     round6(lit(0.5) * alpha + lit(0.5) * (lit(1.0) - stop))
   }
 
+  /** Integer recovery of [[qualityCol]]'s round6 fixed point (one
+    * definition for pipe_dataset_card and pipe_quality_cut, r12
+    * self-review): quality is round6 = k/10⁶, so floor(q·10⁶ + 0.5)
+    * is integral in IEEE and the long cast is exact in BOTH engines —
+    * never bare-cast a non-integral double (Spark truncates where
+    * DuckDB rounds). */
+  private[graft] def q6Col: Column =
+    floor(qualityCol * lit(1e6) + lit(0.5)).cast("long")
+
   /** Oracle-side mirror of [[qualityCol]]. */
   private[operators] val qualitySql: String =
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")

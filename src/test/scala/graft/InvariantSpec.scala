@@ -210,25 +210,78 @@ class InvariantSpec extends SparkTestBase {
   }
 
   test("countPercentiles == percentile() byte-for-byte on the " +
-    "agg_percentile shape (r12)") {
+    "agg_percentile and agg_mad shapes (r12)") {
     // The count-based exact percentile (tie blocks + two-level prefix
-    // sum + rank range-selection) must reproduce percentile()'s
-    // round6'd output exactly — same order statistic, same
-    // (1-f)·lo + f·hi interpolation, no one-reducer buffering.
-    import graft.operators.AggOps
+    // sum + rank range-selection, boundary values rescaled to the
+    // caller's domain BEFORE interpolating) must reproduce
+    // percentile()'s round6'd output exactly. `want` is computed with
+    // the literal percentile() expression — NOT via SparkEntry, which
+    // ships the count-based path itself (r12 self-review caught the
+    // tautology).
     import graft.Tables.{t, dec2, round6}
-    val want = SparkEntry.queries("agg_percentile")(spark, sf)
+    val wantP = t(spark, sf, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(round6(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        round6(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy("o_orderstatus").collect().map(_.toString).toSeq
+    val gotP = SparkEntry.queries("agg_percentile")(spark, sf)
       .collect().map(_.toString).toSeq
-    val vals = t(spark, sf, "orders").select(col("o_orderstatus"),
-      (dec2(col("o_totalprice")) * 100).cast("long").as("v"))
-    val got = AggOps.countPercentiles(vals, "o_orderstatus",
-        Seq(("p50c", 0.5), ("p90c", 0.9)))
-      .select(col("o_orderstatus"),
-        round6(col("p50c") / 100.0).as("p50"),
-        round6(col("p90c") / 100.0).as("p90"))
-      .orderBy("o_orderstatus")
+    assert(gotP == wantP,
+      s"count-based agg_percentile drifts from percentile():\n" +
+        s" got  $gotP\n want $wantP")
+
+    // agg_mad: the full two-stage percentile() form, verbatim pre-r12
+    val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
+    val base = t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), xc.as("xc"))
+    val med = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(xc, 0.5)").as("med"))
+    val wantM = base.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("med"),
+        abs(col("xc").cast("double") - col("med")).as("dev"))
+      .groupBy(col("l_returnflag"), col("n"), col("med"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"),
+        max(col("dev")).as("maxdev"))
+      .select(col("l_returnflag"), col("n"),
+        round6(col("med") / 100.0).as("median"),
+        round6(col("mad") / 100.0).as("mad"),
+        round6(expr(graft.operators.AggOps.madRobustZSql))
+          .as("max_robust_z"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    val gotM = SparkEntry.queries("agg_mad")(spark, sf)
       .collect().map(_.toString).toSeq
-    assert(got == want, s"count-based percentile drifts:\n got  $got\n want $want")
+    assert(gotM == wantM,
+      s"count-based agg_mad drifts from percentile():\n" +
+        s" got  $gotM\n want $wantM")
+  }
+
+  test("countPercentiles keeps count(*) semantics under NULL values " +
+    "(r12 self-review)") {
+    // percentile() ignores NULL values for ranks, but the oracle's
+    // count(*) still counts the rows — n must match count(*), and a
+    // group whose every value is NULL must surface a NULL-percentile
+    // row rather than vanish. (Nullable source columns make this
+    // legal input for agg_mad's xc; quality-derived callers can't
+    // produce NULL under ANSI, where x/0 throws instead.)
+    val ss = spark
+    import ss.implicits._
+    val vals = Seq(
+      ("A", Some(100L)), ("A", Some(200L)), ("A", Some(300L)),
+      ("A", None), // NULL value still counted in n
+      ("Z", None), ("Z", None)) // group with ONLY nulls
+      .toDF("g", "v")
+    val out = graft.operators.AggOps.countPercentiles(
+      vals, "g", Seq(("p50", 0.5)), scale = 100).collect()
+    val a = out.find(_.getString(0) == "A").get
+    assert(a.getLong(a.fieldIndex("n")) == 4L,
+      s"A.n must be count(*) including the NULL row: $a")
+    assert(math.abs(a.getDouble(a.fieldIndex("p50")) - 2.0) < 1e-12,
+      s"A.p50 must rank over non-null values only (median 200/100): $a")
+    val z = out.find(_.getString(0) == "Z").get
+    assert(z.getLong(z.fieldIndex("n")) == 2L, s"Z row: $z")
+    assert(z.isNullAt(z.fieldIndex("p50")),
+      s"all-NULL group must emit a NULL percentile, not vanish: $z")
   }
 
   test("agg_mad emits NULL max_robust_z when MAD is 0 (ADVICE r11)") {

@@ -344,11 +344,14 @@ class PlanSpec extends SparkTestBase {
     //  - pipe_dataset_card (r12): the GLOBAL count-based median's
     //    bucket-offset window — the group key is a constant (one
     //    corpus-wide group), so Catalyst folds the partition spec
-    //    away, and the input is the bucket-count-sized offset table
-    //    BY CONSTRUCTION (its subtree aggregates on bk — the same
-    //    bounded shape the gini/mad/percentile structural test pins)
+    //    away. NOT blanket-exempted: each of its unpartitioned
+    //    windows must prove bounded input structurally (a bk-grouping
+    //    aggregate child — the same shape the gini/mad/percentile
+    //    test pins), so a future row-scaled window still fails here.
     val boundedInput = Set("stream_late_data", "etl_shard_assign",
-      "search_rrf_hybrid", "pipe_dataset_card")
+      "search_rrf_hybrid")
+    val structurallyBounded = Set("pipe_dataset_card")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
       case w: WindowExec => Seq(w)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -359,7 +362,17 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       val qe = SparkEntry.queries(k)(spark, sf).queryExecution
       val bad = windows(qe.executedPlan).filter(_.partitionSpec.isEmpty)
-      if (!boundedInput(k))
+      if (structurallyBounded(k))
+        bad.foreach { w =>
+          val bkAgg = w.child.collect {
+            case a: HashAggregateExec
+              if a.groupingExpressions.exists(_.toString.contains("bk")) => a
+          }.nonEmpty
+          assert(bkAgg,
+            s"$k: unpartitioned window over a non-bucket-collapsed " +
+              s"(row-scaled) input:\n${qe.executedPlan}")
+        }
+      else if (!boundedInput(k))
         assert(bad.isEmpty,
           s"$k plans an unpartitioned row-level WindowExec (single-" +
             s"partition scale-killer):\n${qe.executedPlan}")
