@@ -256,6 +256,37 @@ class InvariantSpec extends SparkTestBase {
         s" got  $gotM\n want $wantM")
   }
 
+  test("countPercentiles == percentile() across randomized shapes " +
+    "(ties, singletons, skew — r12)") {
+    // Seeded random datasets stress the rank selection where the
+    // corpus can't: heavy ties (tiny domains), singleton groups,
+    // n = 2 interpolation, skewed group sizes. Exact equality of the
+    // round6'd results — same order statistic, same IEEE chain.
+    val ss = spark
+    import ss.implicits._
+    import graft.Tables.round6
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val domain = Seq(3, 10, 1000)(trial % 3) // tie density dial
+      val rows = (1 to 500).map { _ =>
+        (s"g${rnd.nextInt(1 + trial)}", rnd.nextInt(domain).toLong)
+      } ++ Seq(("solo", 7L)) // singleton group every trial
+      val df = rows.toDF("g", "v")
+      val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9))
+      val want = df.groupBy(col("g")).agg(
+          round6(expr("percentile(v, 0.25)")).as("p25"),
+          round6(expr("percentile(v, 0.5)")).as("p50"),
+          round6(expr("percentile(v, 0.9)")).as("p90"))
+        .orderBy("g").collect().map(_.toString).toSeq
+      val got = graft.operators.AggOps.countPercentiles(df, "g", ps)
+        .select(col("g"), round6(col("p25")).as("p25"),
+          round6(col("p50")).as("p50"), round6(col("p90")).as("p90"))
+        .orderBy("g").collect().map(_.toString).toSeq
+      assert(got == want,
+        s"trial $trial (domain $domain) drifts:\n got  $got\n want $want")
+    }
+  }
+
   test("countPercentiles keeps count(*) semantics under NULL values " +
     "(r12 self-review)") {
     // percentile() ignores NULL values for ranks, but the oracle's
