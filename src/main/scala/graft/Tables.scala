@@ -51,6 +51,15 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+    // Sweep stopped sessions on EVERY lookup, not only memoized ones
+    // (ADVICE r12): a JVM whose last t() calls all take the
+    // non-memoized branch must still release a stopped session's
+    // cached plans. O(live sessions) — in practice 1.
+    leafMemo.synchronized {
+      val it = leafMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
     // Memoize ONLY the read-only corpus root (trailing slash: sibling
     // dirs like /root/testdata_scratch must NOT match): a parquet read
     // freezes its file listing (InMemoryFileIndex), so memoizing a dir
@@ -60,9 +69,6 @@ object Tables {
     if (sfDir.stripSuffix("/").startsWith("/root/testdata/") ||
         sfDir.stripSuffix("/") == "/root/testdata")
       leafMemo.synchronized {
-        val it = leafMemo.entrySet().iterator()
-        while (it.hasNext)
-          if (it.next().getKey.sparkContext.isStopped) it.remove()
         leafMemo.computeIfAbsent(spark,
           _ => scala.collection.mutable.Map.empty)
           .getOrElseUpdate((sfDir, name), read())
@@ -193,13 +199,18 @@ object Tables {
       // a keyless NumberFormatException from deep inside plan build
       // on natural spellings like "1e4" or "10000.0", and 0/-1 would
       // fail later inside percentile_approx (r12 self-review).
-      val a = try acc.trim.toDouble.toInt catch {
+      val ad = try acc.trim.toDouble catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"spark.graft.agg.approxPercentile must be a positive " +
             s"integer accuracy (e.g. 10000), got '$acc'")
       }
-      require(a > 0, "spark.graft.agg.approxPercentile must be a " +
-        s"positive integer accuracy (e.g. 10000), got '$acc'")
+      // Reject non-integral spellings instead of silently truncating
+      // ('10000.9' → 10000 would betray the error message's promise;
+      // ADVICE r12). '1e4' / '10000.0' remain accepted — integral.
+      require(ad > 0 && ad == math.rint(ad) && ad <= Int.MaxValue.toDouble,
+        "spark.graft.agg.approxPercentile must be a " +
+          s"positive integer accuracy (e.g. 10000), got '$acc'")
+      val a = ad.toInt
       percentile_approx(expr(e), lit(p), lit(a)).cast("double")
     } else expr(s"percentile($e, $p)")
 

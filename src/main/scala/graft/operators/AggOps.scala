@@ -39,13 +39,33 @@ object AggOps {
     * but `n` counts ALL input rows (count(*) parity — a group whose
     * values are all NULL still emits its row, with NULL percentiles).
     * Output: one row per group — n, vmax (the group max, free from
-    * the prefix-sum table), and one DOUBLE per requested (alias, p). */
+    * the prefix-sum table), and one DOUBLE per requested (alias, p).
+    *
+    * Pre-counted input (r13, VERDICT r12 #1): when the input carries a
+    * `cnt` column, each row is a PRE-AGGREGATED tie block weighing
+    * `cnt` occurrences of `v` — the internal collapse becomes
+    * sum(cnt) over the value domain instead of a row-scaled count,
+    * so a caller that already holds (or derives a second pass from)
+    * a tie-collapsed table never re-crosses a row-scaled exchange.
+    * A NULL-v block's cnt still feeds `n` (count(*) parity as above).
+    *
+    * Boundary-equality note (ADVICE r12): the finish ALWAYS computes
+    * (1−f)·lo + f·hi, even when vlo == vhi, because DuckDB's
+    * quantile_cont interpolates the same way — oracle parity is the
+    * contract. Spark's percentile() can short-circuit equal
+    * boundaries, so for non-dyadic f the two can differ by one ulp
+    * (round6-flippable only at an exact half boundary); the
+    * InvariantSpec byte-equality tests are therefore corpus/seed-
+    * pinned regressions, not a universal theorem. */
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
       grp: String, ps: Seq[(String, Double)], scale: Double = 1.0)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnts = vals0.groupBy(col(grp), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val cnts =
+      if (vals0.columns.contains("cnt"))
+        vals0.groupBy(col(grp), col("v")).agg(sum(col("cnt")).as("cnt"))
+      else
+        vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt"))
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
       coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
         .as("nr"))
@@ -459,20 +479,33 @@ object AggOps {
             round6(expr(madRobustZSql)).as("max_robust_z"))
           .orderBy("l_returnflag")
       } else {
+        // r13 (VERDICT r12 #1): the raw corpus crosses the wire ONCE.
+        // Both percentile passes consume the SAME pinned tie-collapsed
+        // (group, value, cnt) table — dev2 = |2·xc − 2·med| depends
+        // only on xc, so pass 2's blocks derive from pass 1's with the
+        // counts carried over (countPercentiles re-collapses symmetric
+        // deviations value-domain-side via sum(cnt)). Pinning the
+        // collapsed table is what makes the fusion real: unpinned, the
+        // dev2 subtree would re-execute the row-scaled collapse.
+        val blocks = pin(base
+          .groupBy(col("l_returnflag"), col("xc"))
+          .agg(count(lit(1)).as("cnt")))
         // pinned: the group-count-sized median dim feeds BOTH the
-        // deviation pass and the final attach — unpinned, its
-        // corpus-scanning subtree would execute twice
+        // deviation pass and the final attach
         val med = pin(countPercentiles(
-          base.select(col("l_returnflag"), col("xc").as("v")),
+          blocks.select(col("l_returnflag"), col("xc").as("v"),
+            col("cnt")),
           "l_returnflag", Seq(("med", 0.5))))
-        val dev2 = base.join(broadcast(med), "l_returnflag")
-          .select(col("l_returnflag"), col("med"),
-            abs(col("xc") * 2 - (col("med") * 2).cast("long")).as("v"))
+        val dev2 = blocks
+          .join(broadcast(med.select(col("l_returnflag"), col("med"))),
+            "l_returnflag")
+          .select(col("l_returnflag"),
+            abs(col("xc") * 2 - (col("med") * 2).cast("long")).as("v"),
+            col("cnt"))
         // scale = 2: boundary values rescale as fl(dev2/2) = the exact
         // |xc − med| doubles percentile() would interpolate — identical
         // IEEE chain, no post-hoc halving of the interpolant
-        countPercentiles(
-            dev2.select(col("l_returnflag"), col("v")),
+        countPercentiles(dev2,
             "l_returnflag", Seq(("mad", 0.5)), scale = 2)
           .select(col("l_returnflag"), col("n"),
             (col("vmax") / lit(2.0)).as("maxdev"), col("mad"))

@@ -621,24 +621,48 @@ object PipelineOps {
       val docs = t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))
-      val thr =
-        if (percentileSketchOn(s))
-          docs.groupBy(col("lang"))
-            .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
-              count(lit(1)).as("n_docs"))
-        else
-          AggOps.countPercentiles(
-            docs.select(col("lang"), TextAnalysisOps.q6Col.as("v")),
+      if (percentileSketchOn(s)) {
+        val thr = docs.groupBy(col("lang"))
+          .agg(round6(groupPercentile(s, "quality", 0.75)).as("thr"),
+            count(lit(1)).as("n_docs"))
+        docs.join(broadcast(thr), "lang")
+          .where(col("quality") >= col("thr"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"), max(col("thr")).as("thr"),
+            count(lit(1)).as("kept"), min(col("quality")).as("min_kept_q"),
+            sum(col("n_tokens")).cast("long").as("kept_tokens"))
+          .orderBy("lang")
+      } else {
+        // r13 (VERDICT r12 #4): the corpus crosses the wire ONCE —
+        // one row-scaled collapse to (lang, q6) tie blocks carrying
+        // cnt + token sums, pinned; the p75 threshold consumes the
+        // blocks pre-counted (countPercentiles sum(cnt) path) and the
+        // gate + summary run over the SAME blocks, value-domain-sized.
+        // Valid because every kept-side stat is block-decomposable:
+        // kept = Σcnt, kept_tokens = Σtok, min_kept_q = fl(min q6/1e6)
+        // (÷1e6 is monotone and q6 ↦ fl(q6/1e6) is EXACTLY the round6'd
+        // quality double — the same correctly-rounded division
+        // countPercentiles' scale=1e6 boundary rescale performs), and
+        // the gate compares that same double, so a block is kept iff
+        // each of its documents would have been.
+        val blocks = pin(docs
+          .groupBy(col("lang"), TextAnalysisOps.q6Col.as("q6"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_tokens")).cast("long").as("tok")))
+        val thr = AggOps.countPercentiles(
+            blocks.select(col("lang"), col("q6").as("v"), col("cnt")),
             "lang", Seq(("t6", 0.75)), scale = 1e6)
-            .select(col("lang"), round6(col("t6")).as("thr"),
-              col("n").as("n_docs"))
-      docs.join(broadcast(thr), "lang")
-        .where(col("quality") >= col("thr"))
-        .groupBy(col("lang"))
-        .agg(max(col("n_docs")).as("n_docs"), max(col("thr")).as("thr"),
-          count(lit(1)).as("kept"), min(col("quality")).as("min_kept_q"),
-          sum(col("n_tokens")).cast("long").as("kept_tokens"))
-        .orderBy("lang")
+          .select(col("lang"), round6(col("t6")).as("thr"),
+            col("n").as("n_docs"))
+        blocks.join(broadcast(thr), "lang")
+          .where((col("q6").cast("double") / lit(1e6)) >= col("thr"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"), max(col("thr")).as("thr"),
+            sum(col("cnt")).as("kept"),
+            (min(col("q6")).cast("double") / lit(1e6)).as("min_kept_q"),
+            sum(col("tok")).as("kept_tokens"))
+          .orderBy("lang")
+      }
     }))
 
   val oracle: Map[String, String] = Map(

@@ -217,7 +217,13 @@ class InvariantSpec extends SparkTestBase {
     // percentile()'s round6'd output exactly. `want` is computed with
     // the literal percentile() expression — NOT via SparkEntry, which
     // ships the count-based path itself (r12 self-review caught the
-    // tautology).
+    // tautology). CORPUS-PINNED, not a universal theorem (ADVICE r12):
+    // countPercentiles deliberately interpolates even when vlo == vhi
+    // (DuckDB quantile_cont does — oracle parity is the contract)
+    // while percentile() may short-circuit, a 1-ulp divergence that
+    // round6 could flip only at an exact half boundary; the fixed
+    // testdata corpus exhibits no such boundary, making this a stable
+    // regression test of the shared IEEE chain.
     import graft.Tables.{t, dec2, round6}
     val wantP = t(spark, sf, "orders")
       .groupBy(col("o_orderstatus"))
@@ -262,6 +268,12 @@ class InvariantSpec extends SparkTestBase {
     // corpus can't: heavy ties (tiny domains), singleton groups,
     // n = 2 interpolation, skewed group sizes. Exact equality of the
     // round6'd results — same order statistic, same IEEE chain.
+    // SEED-PINNED (ADVICE r12; see the countPercentiles scaladoc):
+    // at a vlo == vhi boundary with non-dyadic f the engine keeps
+    // DuckDB's interpolate-always chain while percentile() may
+    // short-circuit — a 1-ulp divergence this fixed seed never lands
+    // on a round6 half boundary. Deterministic, so stable; re-seeding
+    // would require re-validating that property.
     val ss = spark
     import ss.implicits._
     import graft.Tables.round6

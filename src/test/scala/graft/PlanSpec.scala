@@ -364,9 +364,15 @@ class PlanSpec extends SparkTestBase {
       val bad = windows(qe.executedPlan).filter(_.partitionSpec.isEmpty)
       if (structurallyBounded(k))
         bad.foreach { w =>
+          // exact attribute-name match, not toString.contains("bk"):
+          // a future column merely CONTAINING 'bk' (bkt, l_bkey) must
+          // not satisfy the bounded-input guard (ADVICE r12)
           val bkAgg = w.child.collect {
-            case a: HashAggregateExec
-              if a.groupingExpressions.exists(_.toString.contains("bk")) => a
+            case a: HashAggregateExec if a.groupingExpressions.exists {
+              case ar: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => ar.name == "bk"
+              case _ => false
+            } => a
           }.nonEmpty
           assert(bkAgg,
             s"$k: unpartitioned window over a non-bucket-collapsed " +
@@ -411,9 +417,14 @@ class PlanSpec extends SparkTestBase {
         assert(w.partitionSpec.nonEmpty,
           s"unpartitioned window in $key:\n${qe.executedPlan}")
         if (w.partitionSpec.size == 1) {
+          // exact attribute-name match (ADVICE r12; see the bounded-
+          // input test above for the rationale)
           val bucketSized = w.child.collect {
-            case a: HashAggregateExec
-              if a.groupingExpressions.exists(_.toString.contains("bk")) => a
+            case a: HashAggregateExec if a.groupingExpressions.exists {
+              case ar: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => ar.name == "bk"
+              case _ => false
+            } => a
           }.nonEmpty
           assert(bucketSized,
             "group-only window over a non-bucket-collapsed (row-scaled) " +
