@@ -48,6 +48,12 @@ object AggOps {
     * so a caller that already holds (or derives a second pass from)
     * a tie-collapsed table never re-crosses a row-scaled exchange.
     * A NULL-v block's cnt still feeds `n` (count(*) parity as above).
+    * `collapsed = true` additionally asserts the input is ALREADY
+    * unique on (grp, v), skipping the internal re-collapse exchange
+    * entirely — correct only by the caller's guarantee (a groupBy on
+    * exactly (grp, v) upstream); pass it when the pre-counted table
+    * is the collapse, not merely derived from one (a derived value
+    * like |v − c| can collide two blocks and NEEDS the re-collapse).
     *
     * Boundary-equality note (ADVICE r12): the finish ALWAYS computes
     * (1−f)·lo + f·hi, even when vlo == vhi, because DuckDB's
@@ -58,12 +64,14 @@ object AggOps {
     * InvariantSpec byte-equality tests are therefore corpus/seed-
     * pinned regressions, not a universal theorem. */
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
-      grp: String, ps: Seq[(String, Double)], scale: Double = 1.0)
+      grp: String, ps: Seq[(String, Double)], scale: Double = 1.0,
+      collapsed: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cnts =
       if (vals0.columns.contains("cnt"))
-        vals0.groupBy(col(grp), col("v")).agg(sum(col("cnt")).as("cnt"))
+        if (collapsed) vals0.select(col(grp), col("v"), col("cnt"))
+        else vals0.groupBy(col(grp), col("v")).agg(sum(col("cnt")).as("cnt"))
       else
         vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt"))
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
@@ -495,7 +503,7 @@ object AggOps {
         val med = pin(countPercentiles(
           blocks.select(col("l_returnflag"), col("xc").as("v"),
             col("cnt")),
-          "l_returnflag", Seq(("med", 0.5))))
+          "l_returnflag", Seq(("med", 0.5)), collapsed = true))
         val dev2 = blocks
           .join(broadcast(med.select(col("l_returnflag"), col("med"))),
             "l_returnflag")

@@ -651,7 +651,7 @@ object PipelineOps {
             sum(col("n_tokens")).cast("long").as("tok")))
         val thr = AggOps.countPercentiles(
             blocks.select(col("lang"), col("q6").as("v"), col("cnt")),
-            "lang", Seq(("t6", 0.75)), scale = 1e6)
+            "lang", Seq(("t6", 0.75)), scale = 1e6, collapsed = true)
           .select(col("lang"), round6(col("t6")).as("thr"),
             col("n").as("n_docs"))
         blocks.join(broadcast(thr), "lang")
