@@ -531,28 +531,59 @@ object PipelineOps {
       // integer-domain interpolation divided AFTER would add a
       // rounding step that can flip round6 at its half boundary).
       // The conf gate still selects the GK sketch.
-      val quant =
-        if (percentileSketchOn(s))
-          docs.agg(
+      // r13 (§15.2.1 discipline): the card stats and the median share
+      // ONE corpus scan — docs collapse to (lang, q6) blocks carrying
+      // cnt + token aggregates (every card stat is block-decomposable:
+      // n_docs = Σcnt, n_langs = countDistinct over blocks, token
+      // min/max/sum fold through the per-block folds, sum_q6 = Σ q6·cnt),
+      // pinned because the quant and card subtrees both consume it.
+      // Only the exact-dup scan stays row-scaled — md5(text) cannot
+      // decompose over quality blocks. NOT collapsed=true for quant:
+      // its group key is the constant 1, so (g, v) is NOT unique
+      // across languages and the internal sum(cnt) re-collapse is
+      // load-bearing.
+      val card =
+        if (percentileSketchOn(s)) {
+          val quant = docs.agg(
             round6(groupPercentile(s, "q6 / 1000000.0", 0.5)).as("q_p50"))
-        else
-          AggOps.countPercentiles(
-            docs.select(lit(1).as("g"), col("q6").as("v")), "g",
-            Seq(("q6p", 0.5)), scale = 1e6)
+          docs.agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            sum(col("q6")).as("sum_q6"))
+            .join(broadcast(quant), lit(true), "left")
+        } else {
+          val blocks = pin(docs
+            .groupBy(col("lang"), col("q6"))
+            .agg(count(lit(1)).as("cnt"),
+              sum(col("n_tokens")).cast("long").as("tok"),
+              min(col("n_tokens")).as("mintok"),
+              max(col("n_tokens")).as("maxtok")))
+          val quant = AggOps.countPercentiles(
+              blocks.select(lit(1).as("g"), col("q6").as("v"),
+                col("cnt")), "g",
+              Seq(("q6p", 0.5)), scale = 1e6)
             .select(round6(col("q6p")).as("q_p50"))
-      docs.agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(col("n_tokens")).cast("long").as("total_tokens"),
-        min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"),
-        sum(col("q6")).as("sum_q6"))
+          blocks.agg(
+            // coalesce: count(*) over an empty corpus is 0, and
+            // sum-over-empty is NULL — keep the count contract
+            coalesce(sum(col("cnt")), lit(0L)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("tok")).as("total_tokens"),
+            min(col("mintok")).as("min_tokens"),
+            max(col("maxtok")).as("max_tokens"),
+            sum(col("q6") * col("cnt")).as("sum_q6"))
+            .join(broadcast(quant), lit(true), "left")
+        }
+      // quant attaches INSIDE card via LEFT on TRUE, not crossJoin: an
+      // empty/all-NULL-quality corpus leaves quant EMPTY on the count
+      // path, and a cross join would annihilate the one-row card
+      // instead of emitting NULL q_p50 (r12 self-review; the sketch
+      // path aggregates to 1 row always)
+      card
         .crossJoin(broadcast(dups))
-        // LEFT on TRUE, not crossJoin: an empty/all-NULL-quality corpus
-        // leaves quant EMPTY on the count path, and a cross join would
-        // annihilate the one-row card instead of emitting NULL q_p50
-        // (r12 self-review; the sketch path aggregates to 1 row always)
-        .join(broadcast(quant), lit(true), "left")
         .select(col("n_docs"), col("n_langs"), col("total_tokens"),
           col("min_tokens"), col("max_tokens"),
           (col("n_docs") - col("n_uniq")).as("exact_dups"),
