@@ -41,12 +41,15 @@ object AggOps {
     * Output: one row per group — n, vmax (the group max, free from
     * the prefix-sum table), and one DOUBLE per requested (alias, p).
     *
-    * Pre-counted input (r13, VERDICT r12 #1): when the input carries a
-    * `cnt` column, each row is a PRE-AGGREGATED tie block weighing
-    * `cnt` occurrences of `v` — the internal collapse becomes
-    * sum(cnt) over the value domain instead of a row-scaled count,
-    * so a caller that already holds (or derives a second pass from)
-    * a tie-collapsed table never re-crosses a row-scaled exchange.
+    * Pre-counted input (r13, VERDICT r12 #1): with `preCounted =
+    * true` the input must carry a `cnt` column and each row is a
+    * PRE-AGGREGATED tie block weighing `cnt` occurrences of `v` — the
+    * internal collapse becomes sum(cnt) over the value domain instead
+    * of a row-scaled count, so a caller that already holds (or
+    * derives a second pass from) a tie-collapsed table never
+    * re-crosses a row-scaled exchange. An EXPLICIT parameter, not a
+    * cnt-column sniff (r13 review: an unrelated column that happens
+    * to be named cnt must never silently switch the semantics).
     * A NULL-v block's cnt still feeds `n` (count(*) parity as above).
     * `collapsed = true` additionally asserts the input is ALREADY
     * unique on (grp, v), skipping the internal re-collapse exchange
@@ -65,11 +68,19 @@ object AggOps {
     * pinned regressions, not a universal theorem. */
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
       grp: String, ps: Seq[(String, Double)], scale: Double = 1.0,
-      collapsed: Boolean = false)
+      preCounted: Boolean = false, collapsed: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!collapsed || preCounted,
+      "countPercentiles: collapsed = true requires preCounted = true")
+    require(preCounted == vals0.columns.contains("cnt"),
+      if (preCounted)
+        "countPercentiles: preCounted input must carry a cnt column"
+      else
+        "countPercentiles: input carries a cnt column but preCounted " +
+          "is false — pass preCounted = true or drop/rename the column")
     val cnts =
-      if (vals0.columns.contains("cnt"))
+      if (preCounted)
         if (collapsed) vals0.select(col(grp), col("v"), col("cnt"))
         else vals0.groupBy(col(grp), col("v")).agg(sum(col("cnt")).as("cnt"))
       else
@@ -503,7 +514,8 @@ object AggOps {
         val med = pin(countPercentiles(
           blocks.select(col("l_returnflag"), col("xc").as("v"),
             col("cnt")),
-          "l_returnflag", Seq(("med", 0.5)), collapsed = true))
+          "l_returnflag", Seq(("med", 0.5)),
+          preCounted = true, collapsed = true))
         val dev2 = blocks
           .join(broadcast(med.select(col("l_returnflag"), col("med"))),
             "l_returnflag")
@@ -514,7 +526,8 @@ object AggOps {
         // |xc − med| doubles percentile() would interpolate — identical
         // IEEE chain, no post-hoc halving of the interpolant
         countPercentiles(dev2,
-            "l_returnflag", Seq(("mad", 0.5)), scale = 2)
+            "l_returnflag", Seq(("mad", 0.5)), scale = 2,
+            preCounted = true)
           .select(col("l_returnflag"), col("n"),
             (col("vmax") / lit(2.0)).as("maxdev"), col("mad"))
           .join(broadcast(med.select(col("l_returnflag"), col("med"))),

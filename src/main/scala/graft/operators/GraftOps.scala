@@ -99,6 +99,30 @@ object GraftOps {
     SimilarityOps.knnGraph(emb, k, grp)
   }
 
+  /** Exact grouped linear-interpolation percentiles with NO
+    * single-reducer value buffering (r12/r13): the `percentile()` /
+    * `quantile_cont` order statistic computed count-based — rows
+    * hash-collapse to (group, value, cnt) tie blocks, ranks resolve
+    * through a two-level bucketed prefix sum, boundary values rescale
+    * as fl(v/scale) BEFORE interpolating. Input: `grp` column + a
+    * non-negative BIGINT `v` column; `ps` = (output alias, fraction).
+    * Output per group: `n` (count(*) over ALL rows — NULLs included;
+    * ranks ignore NULLs like percentile()), `vmax`, one DOUBLE per
+    * requested fraction. `preCounted = true` reads an existing `cnt`
+    * column as tie-block weights (multi-pass callers scan their
+    * corpus once); `collapsed = true` (requires preCounted) skips the
+    * internal re-collapse when the caller guarantees (grp, v)
+    * uniqueness. Byte-parity notes in [[AggOps.countPercentiles]]. */
+  def countPercentiles(vals: DataFrame, grp: String,
+      ps: Seq[(String, Double)], scale: Double = 1.0,
+      preCounted: Boolean = false, collapsed: Boolean = false)
+      : DataFrame = {
+    require(ps.nonEmpty, "at least one (alias, fraction) is required")
+    ps.foreach { case (_, p) =>
+      require(p >= 0.0 && p <= 1.0, s"fraction $p outside [0, 1]") }
+    AggOps.countPercentiles(vals, grp, ps, scale, preCounted, collapsed)
+  }
+
   /** Approximate k-NN cosine graph via top-2 multi-probe IVF (r11):
     * each vector candidates in its two nearest TRAINED cells, pairs
     * meet once (least-shared-cell dedup, no distinct shuffle), exact

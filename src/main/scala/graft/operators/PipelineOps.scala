@@ -564,7 +564,7 @@ object PipelineOps {
           val quant = AggOps.countPercentiles(
               blocks.select(lit(1).as("g"), col("q6").as("v"),
                 col("cnt")), "g",
-              Seq(("q6p", 0.5)), scale = 1e6)
+              Seq(("q6p", 0.5)), scale = 1e6, preCounted = true)
             .select(round6(col("q6p")).as("q_p50"))
           blocks.agg(
             // coalesce: count(*) over an empty corpus is 0, and
@@ -682,7 +682,8 @@ object PipelineOps {
             sum(col("n_tokens")).cast("long").as("tok")))
         val thr = AggOps.countPercentiles(
             blocks.select(col("lang"), col("q6").as("v"), col("cnt")),
-            "lang", Seq(("t6", 0.75)), scale = 1e6, collapsed = true)
+            "lang", Seq(("t6", 0.75)), scale = 1e6,
+            preCounted = true, collapsed = true)
           .select(col("lang"), round6(col("t6")).as("thr"),
             col("n").as("n_docs"))
         blocks.join(broadcast(thr), "lang")

@@ -296,6 +296,23 @@ class InvariantSpec extends SparkTestBase {
         .orderBy("g").collect().map(_.toString).toSeq
       assert(got == want,
         s"trial $trial (domain $domain) drifts:\n got  $got\n want $want")
+      // the r13 input forms must agree with the raw path on the same
+      // data: pre-counted tie blocks (weighted sum(cnt) re-collapse)
+      // and collapsed=true (re-collapse skipped under the uniqueness
+      // guarantee) — otherwise a cnt-branch regression is visible
+      // only through end-to-end parity of its three callers
+      val blocks = df.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      for ((form, flags) <- Seq(
+          ("preCounted", false), ("collapsed", true))) {
+        val alt = graft.operators.AggOps.countPercentiles(
+            blocks, "g", ps, preCounted = true, collapsed = flags)
+          .select(col("g"), round6(col("p25")).as("p25"),
+            round6(col("p50")).as("p50"), round6(col("p90")).as("p90"))
+          .orderBy("g").collect().map(_.toString).toSeq
+        assert(alt == want,
+          s"trial $trial $form form drifts:\n got  $alt\n want $want")
+      }
     }
   }
 

@@ -41,12 +41,16 @@ object KnnScaleProbe {
       }.reduce(_ union _).coalesce(4)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val e2 = Tables.t(spark, dir, "embeddings")
-      val exact = operators.GraftOps.knnGraph(e2, 3)
-        .select(col("node"), col("nbr"))
+      // pinned: the recall join below consumes both graphs AGAIN —
+      // unpinned, the quadratic exact plan would execute twice per
+      // rung (r13 review)
+      val exact = Tables.pin(operators.GraftOps.knnGraph(e2, 3)
+        .select(col("node"), col("nbr")))
       val (ne, te) = time(exact.count())
       // the shipped key's exact plan (r11: top-2 multi-probe)
-      val ivf = operators.SimilarityOps.knnGraphMultiProbe(e2, 3)
-        .select(col("node"), col("nbr"))
+      val ivf = Tables.pin(
+        operators.SimilarityOps.knnGraphMultiProbe(e2, 3)
+          .select(col("node"), col("nbr")))
       val (ni, ti) = time(ivf.count())
       // recall-at-scale (VERDICT r12 #6): edge recall vs the exact
       // graph at each corpus size, fixed nlist/probes — shows the
