@@ -316,6 +316,39 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("countPercentiles rejects contract-violating input loudly " +
+    "(r13 review: no silent semantics switch)") {
+    // The pre-counted switch is an explicit parameter, never a
+    // column-name sniff: an unrelated column named cnt must fail fast
+    // rather than silently weight every row, and the collapsed skip
+    // is only reachable through the pre-counted contract.
+    val ss = spark
+    import ss.implicits._
+    val plain = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val counted = Seq(("A", 1L, 2L), ("A", 2L, 1L)).toDF("g", "v", "cnt")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.AggOps.countPercentiles(
+        counted, "g", Seq(("p50", 0.5))) // cnt present, flag absent
+    }
+    assert(e1.getMessage.contains("preCounted"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AggOps.countPercentiles(
+        plain, "g", Seq(("p50", 0.5)), preCounted = true) // no cnt
+    }
+    assert(e2.getMessage.contains("cnt"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.AggOps.countPercentiles(
+        plain, "g", Seq(("p50", 0.5)), collapsed = true) // needs preCounted
+    }
+    assert(e3.getMessage.contains("collapsed"), e3.getMessage)
+    // and the public GraftOps surface validates fractions
+    val e4 = intercept[IllegalArgumentException] {
+      graft.operators.GraftOps.countPercentiles(
+        plain, "g", Seq(("bad", 1.5)))
+    }
+    assert(e4.getMessage.contains("fraction"), e4.getMessage)
+  }
+
   test("countPercentiles keeps count(*) semantics under NULL values " +
     "(r12 self-review)") {
     // percentile() ignores NULL values for ranks, but the oracle's
