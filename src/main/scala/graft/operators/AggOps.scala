@@ -79,10 +79,26 @@ object AggOps {
       else
         "countPercentiles: input carries a cnt column but preCounted " +
           "is false — pass preCounted = true or drop/rename the column")
+    require(scale > 0 && !scale.isInfinite,
+      s"countPercentiles: scale must be a positive finite double, got $scale")
+    val aliases = ps.map(_._1)
+    require(aliases.distinct == aliases &&
+      aliases.forall(a => a != grp && a != "n" && a != "vmax"),
+      "countPercentiles: aliases must be distinct and none of " +
+        s"($grp, n, vmax), got $aliases")
+    // weights are a RUNTIME contract: a zero/negative/NULL cnt block
+    // would silently corrupt ranks, n, and vmax (r13 review) — one
+    // codegen'd branch per block raises instead
+    val cntOk = when(col("cnt").isNull || col("cnt") <= 0L,
+        raise_error(concat(
+          lit("countPercentiles: cnt must be a positive count, got "),
+          coalesce(col("cnt").cast("string"), lit("NULL"))))
+          .cast("long"))
+      .otherwise(col("cnt"))
     val cnts =
       if (preCounted)
-        if (collapsed) vals0.select(col(grp), col("v"), col("cnt"))
-        else vals0.groupBy(col(grp), col("v")).agg(sum(col("cnt")).as("cnt"))
+        if (collapsed) vals0.select(col(grp), col("v"), cntOk.as("cnt"))
+        else vals0.groupBy(col(grp), col("v")).agg(sum(cntOk).as("cnt"))
       else
         vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt"))
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),

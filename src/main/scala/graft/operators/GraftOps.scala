@@ -120,6 +120,8 @@ object GraftOps {
     require(ps.nonEmpty, "at least one (alias, fraction) is required")
     ps.foreach { case (_, p) =>
       require(p >= 0.0 && p <= 1.0, s"fraction $p outside [0, 1]") }
+    // scale/alias domains and the cnt weight contract are validated
+    // inside AggOps.countPercentiles (shared with internal callers)
     AggOps.countPercentiles(vals, grp, ps, scale, preCounted, collapsed)
   }
 

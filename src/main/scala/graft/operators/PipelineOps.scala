@@ -676,8 +676,11 @@ object PipelineOps {
         // countPercentiles' scale=1e6 boundary rescale performs), and
         // the gate compares that same double, so a block is kept iff
         // each of its documents would have been.
+        // q6Of(quality), not q6Col: gate and threshold must flow from
+        // the ONE quality derivation bound above (r13 review)
         val blocks = pin(docs
-          .groupBy(col("lang"), TextAnalysisOps.q6Col.as("q6"))
+          .groupBy(col("lang"),
+            TextAnalysisOps.q6Of(col("quality")).as("q6"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("n_tokens")).cast("long").as("tok")))
         val thr = AggOps.countPercentiles(

@@ -372,8 +372,14 @@ object TextAnalysisOps {
     * is integral in IEEE and the long cast is exact in BOTH engines —
     * never bare-cast a non-integral double (Spark truncates where
     * DuckDB rounds). */
-  private[graft] def q6Col: Column =
-    floor(qualityCol * lit(1e6) + lit(0.5)).cast("long")
+  private[graft] def q6Col: Column = q6Of(qualityCol)
+
+  /** The same fixed-point recovery over an ALREADY-DERIVED quality
+    * column (r13 review: a caller that has `quality` in scope must
+    * reuse it, not re-derive [[qualityCol]] through [[q6Col]] — two
+    * independent derivations of one quantity can desynchronize). */
+  private[graft] def q6Of(quality: Column): Column =
+    floor(quality * lit(1e6) + lit(0.5)).cast("long")
 
   /** Oracle-side mirror of [[qualityCol]]. */
   private[operators] val qualitySql: String =

@@ -10,6 +10,24 @@ class PlanSpec extends SparkTestBase {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Does this subtree contain a hash aggregate grouping on the
+    * prefix-sum bucket column — the structural proof that a window's
+    * input is bucket-count-sized, not row-scaled? Exact attribute-name
+    * match, not toString.contains("bk"): a future column merely
+    * CONTAINING 'bk' (bkt, l_bkey) must not satisfy the guard
+    * (ADVICE r12). Shared by the bounded-input and percentile-family
+    * tests so the two enforce ONE invariant (r13 review). */
+  private def hasBkGroupingAgg(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists {
+          case ar: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => ar.name == "bk"
+          case _ => false
+        } => a
+    }.nonEmpty
+
   test("scan_pruned pushes filter + projection into the parquet scan") {
     val p = plan("scan_pruned")
     assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
@@ -364,17 +382,7 @@ class PlanSpec extends SparkTestBase {
       val bad = windows(qe.executedPlan).filter(_.partitionSpec.isEmpty)
       if (structurallyBounded(k))
         bad.foreach { w =>
-          // exact attribute-name match, not toString.contains("bk"):
-          // a future column merely CONTAINING 'bk' (bkt, l_bkey) must
-          // not satisfy the bounded-input guard (ADVICE r12)
-          val bkAgg = w.child.collect {
-            case a: HashAggregateExec if a.groupingExpressions.exists {
-              case ar: org.apache.spark.sql.catalyst.expressions
-                .AttributeReference => ar.name == "bk"
-              case _ => false
-            } => a
-          }.nonEmpty
-          assert(bkAgg,
+          assert(hasBkGroupingAgg(w.child),
             s"$k: unpartitioned window over a non-bucket-collapsed " +
               s"(row-scaled) input:\n${qe.executedPlan}")
         }
@@ -417,16 +425,7 @@ class PlanSpec extends SparkTestBase {
         assert(w.partitionSpec.nonEmpty,
           s"unpartitioned window in $key:\n${qe.executedPlan}")
         if (w.partitionSpec.size == 1) {
-          // exact attribute-name match (ADVICE r12; see the bounded-
-          // input test above for the rationale)
-          val bucketSized = w.child.collect {
-            case a: HashAggregateExec if a.groupingExpressions.exists {
-              case ar: org.apache.spark.sql.catalyst.expressions
-                .AttributeReference => ar.name == "bk"
-              case _ => false
-            } => a
-          }.nonEmpty
-          assert(bucketSized,
+          assert(hasBkGroupingAgg(w.child),
             "group-only window over a non-bucket-collapsed (row-scaled) " +
               s"input in $key:\n${qe.executedPlan}")
         }
