@@ -66,11 +66,40 @@ object AggOps {
     * (round6-flippable only at an exact half boundary); the
     * InvariantSpec byte-equality tests are therefore corpus/seed-
     * pinned regressions, not a universal theorem. */
+  /** THE two-level bucketed prefix sum (r13 — ONE implementation,
+    * shared by [[countPercentiles]] and `agg_gini`, which had drifted
+    * into two identical inline copies): for a (grp, v BIGINT ≥ 0,
+    * cnt) tie-block table UNIQUE on (grp, v) with non-null v, append
+    * `cprev` = the exclusive running count of all values below v in
+    * the group. A (grp, bucket)-keyed window computes the
+    * within-bucket prefix in parallel across buckets (bk = v div
+    * 2¹⁶); bucket totals collapse to a bucket-count-sized offset
+    * table whose per-group window is the ONLY group-partitioned sort;
+    * the broadcast offsets re-attach map-side. No task ever orders a
+    * group's full value set. Intermediate columns bk/lprev/off remain
+    * on the output (callers project what they need). */
+  private[graft] def exclusivePrefix(cnts: org.apache.spark.sql.DataFrame,
+      grp: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = cnts.withColumn("bk", expr("v div 65536"))
+    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(grp).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.groupBy(col(grp), col("bk"))
+      .agg(sum(col("cnt")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col(grp), col("bk"), col("off"))
+    vals
+      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .join(broadcast(offs), Seq(grp, "bk"))
+      .withColumn("cprev", col("off") + col("lprev"))
+  }
+
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
       grp: String, ps: Seq[(String, Double)], scale: Double = 1.0,
       preCounted: Boolean = false, collapsed: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(!collapsed || preCounted,
       "countPercentiles: collapsed = true requires preCounted = true")
     require(preCounted == vals0.columns.contains("cnt"),
@@ -104,20 +133,7 @@ object AggOps {
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
       coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
         .as("nr"))
-    val vals = cnts.where(col("v").isNotNull)
-      .withColumn("bk", expr("v div 65536"))
-    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(grp).orderBy("bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = vals.groupBy(col(grp), col("bk"))
-      .agg(sum(col("cnt")).as("btot"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .select(col(grp), col("bk"), col("off"))
-    val cum = vals
-      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
-      .join(broadcast(offs), Seq(grp, "bk"))
-      .withColumn("cprev", col("off") + col("lprev"))
+    val cum = exclusivePrefix(cnts.where(col("v").isNotNull), grp)
       .join(broadcast(ntab.select(col(grp), col("nr"))), Seq(grp))
     val withPos = ps.foldLeft(cum) { case (df, (a, p)) =>
       df.withColumn(s"pos_$a", lit(p) * (col("nr") - 1).cast("double"))
@@ -580,29 +596,19 @@ object AggOps {
     // group at cents ≤ 10⁹; widen to DECIMAL(38,0) beyond. PlanSpec
     // asserts no row-level group-only window survives.
     "agg_gini" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.expressions.Window
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
-      val vals = t(s, d, "lineitem")
-        .select(col("l_returnflag"), xc.as("xc"))
-        .groupBy(col("l_returnflag"), col("xc"))
+      val cnts = t(s, d, "lineitem")
+        .select(col("l_returnflag"), xc.as("v"))
+        .groupBy(col("l_returnflag"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("bk", expr("xc div 65536"))
-      val wLoc = Window.partitionBy("l_returnflag", "bk").orderBy("xc")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wOff = Window.partitionBy("l_returnflag").orderBy("bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = vals.groupBy(col("l_returnflag"), col("bk"))
-        .agg(sum(col("cnt")).as("btot"))
-        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-        .select(col("l_returnflag"), col("bk"), col("off"))
-      vals
-        .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
-        .join(broadcast(offs), Seq("l_returnflag", "bk"))
-        .withColumn("sprev", col("off") + col("lprev"))
+      // sprev (exclusive rank offset) = the shared [[exclusivePrefix]]
+      // cprev — r13: one prefix-sum implementation for the whole
+      // gini/mad/percentile family, not two drifting inline copies
+      exclusivePrefix(cnts, "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(sum(col("cnt")).as("n"),
-          sum(col("xc") * col("cnt")).as("sx"),
-          sum(col("xc") * (col("sprev") * col("cnt") +
+          sum(col("v") * col("cnt")).as("sx"),
+          sum(col("v") * (col("cprev") * col("cnt") +
             expr("cnt * (cnt + 1) div 2"))).as("srx"))
         .select(col("l_returnflag"), col("n"),
           round6(expr(giniSql)).as("gini"))
