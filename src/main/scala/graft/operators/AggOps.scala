@@ -77,11 +77,17 @@ object AggOps {
     * table whose per-group window is the ONLY group-partitioned sort;
     * the broadcast offsets re-attach map-side. No task ever orders a
     * group's full value set. Intermediate columns bk/lprev/off remain
-    * on the output (callers project what they need). */
+    * on the output (callers project what they need). `bucket` sizes
+    * the bk domain (r13 review: the sibling prefix sums —
+    * etl_shard_assign, pipe_pack_sequences — already expose this; a
+    * caller over a wider value domain must widen the bucket so the
+    * offset table stays dimension-sized, or recurse once more). */
   private[graft] def exclusivePrefix(cnts: org.apache.spark.sql.DataFrame,
-      grp: String): org.apache.spark.sql.DataFrame = {
+      grp: String, bucket: Long = 65536L)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vals = cnts.withColumn("bk", expr("v div 65536"))
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    val vals = cnts.withColumn("bk", expr(s"v div $bucket"))
     val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(grp).orderBy("bk")

@@ -36,8 +36,11 @@ object PercentileScaleProbe {
     for (k <- Seq(1, 2, 4, 8)) {
       val dir = s"$outRoot/x$k"
       // k row-duplicated copies: the price DOMAIN is unchanged, so the
-      // (group, cents) tie blocks saturate exactly k-fold
-      (0 until k).map(_ => li).reduce(_ union _).coalesce(8)
+      // (group, cents) tie blocks saturate exactly k-fold. coalesce to
+      // the session's parallelism so the corpus layout matches what
+      // the canonical bench reads (r13 review: a fixed 8 skewed the
+      // written layout under SPARK_GRAFT_CPUS=32)
+      (0 until k).map(_ => li).reduce(_ union _).coalesce(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val rows = Tables.t(spark, dir, "lineitem").count()
       val blocks = Tables.t(spark, dir, "lineitem")
@@ -47,12 +50,26 @@ object PercentileScaleProbe {
       // warm run absorbs codegen, timed run is steady-state shape
       SparkEntry.queries("agg_mad")(spark, dir)
         .queryExecution.toRdd.count()
+      // sweep dead localCheckpoint pins from prior runs/sizes before
+      // timing (r13 review): without it, the k=8 run executes under
+      // the block pressure of every earlier run's pins, and a
+      // super-linear reading could be pin accumulation rather than the
+      // algorithmic scaling this probe exists to measure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val (n, t) = time(
         SparkEntry.queries("agg_mad")(spark, dir)
           .queryExecution.toRdd.count())
       println(f"[pctscale] k=$k%d rows=$rows%8d blocks=$blocks%7d " +
         f"collapse=${rows.toDouble / blocks}%5.2fx mad_s=$t%6.2f rows_out=$n")
     }
+    // the duplicated corpora are probe scratch — don't leave up to 15
+    // lineitem copies under /tmp (r13 review)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(outRoot))
     spark.stop()
   }
 }
