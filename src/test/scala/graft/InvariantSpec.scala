@@ -316,6 +316,30 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("exclusivePrefix is invariant to the bucket width (r13 — the " +
+    "same contract shardAssign's prefix sum carries)") {
+    // The two-level prefix sum must produce identical exclusive ranks
+    // at ANY bucket split: degenerate one-value-per-bucket (bucket=1),
+    // mid splits, and the single-bucket extreme where the local
+    // window does all the work. Seeded random tie-heavy data.
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(200000).toLong) }
+    val cnts = rows.toDF("g", "v")
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val want = graft.operators.AggOps.exclusivePrefix(cnts, "g")
+      .select(col("g"), col("v"), col("cnt"), col("cprev"))
+      .orderBy("g", "v").collect().map(_.toString).toSeq
+    for (b <- Seq(1L, 7L, 1024L, 1000000000L)) {
+      val got = graft.operators.AggOps.exclusivePrefix(cnts, "g", b)
+        .select(col("g"), col("v"), col("cnt"), col("cprev"))
+        .orderBy("g", "v").collect().map(_.toString).toSeq
+      assert(got == want, s"bucket=$b drifts from the default split")
+    }
+  }
+
   test("countPercentiles rejects contract-violating input loudly " +
     "(r13 review: no silent semantics switch)") {
     // The pre-counted switch is an explicit parameter, never a
