@@ -453,10 +453,14 @@ object PipelineOps {
       // checked = true: same convergence guard as dedup_cluster_cc /
       // dedup_keep_best — never silently emit an unconverged clustering
       val clusters = TextSimOps.clusterCC(s, d, 6, checked = true)
-      val docs = t(s, d, "documents")
+      // pinned (r13, §15.2.1 discipline): BOTH the keep-best argmax
+      // and the final gate consume docs — unpinned, the quality text
+      // derivation ran row-scaled TWICE
+      val docs = pin(t(s, d, "documents")
         .withColumn("quality", TextAnalysisOps.qualityCol)
         .withColumn("n_tokens", size(split(col("text"), " ")))
-        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tokens")))
       val keep = clusters.join(docs, "doc_id")
         .groupBy(col("cluster"))
         .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
