@@ -59,6 +59,10 @@ object Bench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(3).max(1).min(10)
     val results = selected.map { case (name, fn) =>
+      // Snapshot the persistent-RDD ids live BEFORE this key so the
+      // end-of-key sweep below can release exactly the pins this key's
+      // attempts created (targeted bookkeeping, VERDICT r13 #1).
+      val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
       val attempts = (1 to reps).map { i =>
         System.gc()
         val t0 = System.nanoTime()
@@ -76,6 +80,23 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-22s try$i $dt%8.2fs rows=$n")
         (dt, n)
+      }
+      // End-of-key pin sweep (VERDICT r13 #1): localCheckpoint pins
+      // (Tables.pin — the iterative/fused keys' lineage truncation) are
+      // executor-resident blocks nobody unpersists, so a full suite
+      // accumulates 177 keys × reps of dead pins; under external memory
+      // pressure (the driver runs Bench under a resident sbt parent JVM)
+      // the block-manager eviction + GC churn lands on whichever
+      // allocation-heavy key runs late in the order — BENCH_r13 read
+      // agg_mad at 9.17 s vs the 3.81 s canonical at the same HEAD.
+      // Release ONLY the pins this key's attempts created, OUTSIDE the
+      // timed section, once per key — NOT the per-attempt global
+      // sweep + System.gc(), which measured as a 150.4 → 167.9 s net
+      // loss (DESIGN §15.5a).
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinsBefore.contains(id))
+          try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
       }
       val dt =
         if (attempts.exists(_._2 < 0)) attempts.map(_._1).max

@@ -15,6 +15,56 @@ import graft.Tables._
   * count, 6) — exact numerator, deterministic IEEE division.
   */
 object AggOps {
+  private val PrefixInternalCols = Set("bk", "lprev", "off", "cprev")
+
+  /** THE two-level bucketed prefix sum (r13 — ONE implementation,
+    * shared by [[countPercentiles]] and `agg_gini`, which had drifted
+    * into two identical inline copies): for a (grp, v BIGINT ≥ 0,
+    * cnt) tie-block table UNIQUE on (grp, v) with non-null v, append
+    * `cprev` = the exclusive running count of all values below v in
+    * the group. A (grp, bucket)-keyed window computes the
+    * within-bucket prefix in parallel across buckets (bk = v div
+    * 2¹⁶); bucket totals collapse to a bucket-count-sized offset
+    * table whose per-group window is the ONLY group-partitioned sort;
+    * the broadcast offsets re-attach map-side. No task ever orders a
+    * group's full value set. Intermediate columns bk/lprev/off remain
+    * on the output (callers project what they need). `bucket` sizes
+    * the bk domain (r13 review: the sibling prefix sums —
+    * etl_shard_assign, pipe_pack_sequences — already expose this; a
+    * caller over a wider value domain must widen the bucket so the
+    * offset table stays dimension-sized, or recurse once more). */
+  private[graft] def exclusivePrefix(cnts: org.apache.spark.sql.DataFrame,
+      grp: String, bucket: Long = 65536L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucket > 0, s"bucket width must be positive, got $bucket")
+    // Reserved-name guard (ADVICE r13): the internal withColumns would
+    // silently OVERWRITE a grp/input column named bk/lprev/off/cprev —
+    // partitioning ranks by bucket id instead of the caller's group,
+    // wrong results with no error. Reject loudly instead, matching the
+    // alias-collision guard countPercentiles already carries.
+    require(!PrefixInternalCols(grp) && grp != "v" && grp != "cnt",
+      s"exclusivePrefix: grp column '$grp' collides with a reserved " +
+        "column name (bk, lprev, off, cprev, v, cnt)")
+    require(!cnts.columns.exists(PrefixInternalCols),
+      "exclusivePrefix: input carries reserved internal column(s) " +
+        s"${cnts.columns.filter(PrefixInternalCols).mkString(", ")} — " +
+        "bk/lprev/off/cprev would be silently overwritten; rename them")
+    val vals = cnts.withColumn("bk", expr(s"v div $bucket"))
+    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(grp).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vals.groupBy(col(grp), col("bk"))
+      .agg(sum(col("cnt")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col(grp), col("bk"), col("off"))
+    vals
+      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .join(broadcast(offs), Seq(grp, "bk"))
+      .withColumn("cprev", col("off") + col("lprev"))
+  }
+
   /** Exact linear-interpolation percentiles over a NON-NEGATIVE
     * integer-domain value column WITHOUT percentile()'s one-reducer
     * buffering contract (r12 — the last single-reducer shape in the
@@ -66,42 +116,6 @@ object AggOps {
     * (round6-flippable only at an exact half boundary); the
     * InvariantSpec byte-equality tests are therefore corpus/seed-
     * pinned regressions, not a universal theorem. */
-  /** THE two-level bucketed prefix sum (r13 — ONE implementation,
-    * shared by [[countPercentiles]] and `agg_gini`, which had drifted
-    * into two identical inline copies): for a (grp, v BIGINT ≥ 0,
-    * cnt) tie-block table UNIQUE on (grp, v) with non-null v, append
-    * `cprev` = the exclusive running count of all values below v in
-    * the group. A (grp, bucket)-keyed window computes the
-    * within-bucket prefix in parallel across buckets (bk = v div
-    * 2¹⁶); bucket totals collapse to a bucket-count-sized offset
-    * table whose per-group window is the ONLY group-partitioned sort;
-    * the broadcast offsets re-attach map-side. No task ever orders a
-    * group's full value set. Intermediate columns bk/lprev/off remain
-    * on the output (callers project what they need). `bucket` sizes
-    * the bk domain (r13 review: the sibling prefix sums —
-    * etl_shard_assign, pipe_pack_sequences — already expose this; a
-    * caller over a wider value domain must widen the bucket so the
-    * offset table stays dimension-sized, or recurse once more). */
-  private[graft] def exclusivePrefix(cnts: org.apache.spark.sql.DataFrame,
-      grp: String, bucket: Long = 65536L)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(bucket > 0, s"bucket width must be positive, got $bucket")
-    val vals = cnts.withColumn("bk", expr(s"v div $bucket"))
-    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(grp).orderBy("bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = vals.groupBy(col(grp), col("bk"))
-      .agg(sum(col("cnt")).as("btot"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .select(col(grp), col("bk"), col("off"))
-    vals
-      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
-      .join(broadcast(offs), Seq(grp, "bk"))
-      .withColumn("cprev", col("off") + col("lprev"))
-  }
-
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
       grp: String, ps: Seq[(String, Double)], scale: Double = 1.0,
       preCounted: Boolean = false, collapsed: Boolean = false)
@@ -116,6 +130,13 @@ object AggOps {
           "is false — pass preCounted = true or drop/rename the column")
     require(scale > 0 && !scale.isInfinite,
       s"countPercentiles: scale must be a positive finite double, got $scale")
+    // Reserved-name guard (ADVICE r13): grp is threaded through
+    // exclusivePrefix's internal withColumns and this method's own
+    // n/nr/vmax attachments — a collision silently overwrites it.
+    require(!PrefixInternalCols(grp) &&
+      !Set("v", "cnt", "n", "nr", "vmax")(grp),
+      s"countPercentiles: grp column '$grp' collides with a reserved " +
+        "column name (bk, lprev, off, cprev, v, cnt, n, nr, vmax)")
     val aliases = ps.map(_._1)
     require(aliases.distinct == aliases &&
       aliases.forall(a => a != grp && a != "n" && a != "vmax"),

@@ -37,7 +37,12 @@ object EtlOps {
       .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
     child.agg(count(lit(1)).as("child_rows"),
         countDistinct(col(ck)).as("ref_keys"))
-      .crossJoin(orphans.agg(count(lit(1)).as("orphans")))
+      // broadcast() like every other 1-row attach in the repo (VERDICT
+      // r13 #3): global aggregates always yield exactly one row, so the
+      // empty-frame annihilation hazard doesn't apply, but the planner
+      // hint keeps the attach a BroadcastNestedLoopJoin by declaration
+      // rather than by size estimate.
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("orphans"))))
       .select(lit(rel).as("rel"), col("child_rows"), col("ref_keys"),
         col("orphans"))
   }

@@ -124,6 +124,42 @@ object PipelineOps {
       .orderBy("source", "pack_id")
   }
 
+  /** The pinned per-doc curation frame `pipe_curation_e2e` gates on:
+    * (doc_id, lang, quality, n_tokens), quality derived once (the pin
+    * is the r13 fix — both the keep-best argmax and the gate consume
+    * it; unpinned, the row-scaled quality derivation ran twice). */
+  private[graft] def qualityDocs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    pin(t(s, d, "documents")
+      .withColumn("quality", TextAnalysisOps.qualityCol)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("n_tokens")))
+
+  /** The curation gate — the post-dedup tail of `pipe_curation_e2e`
+    * (absolute quality cut → reingestion-stable hash split →
+    * per-(lang, split) summary), factored out (r14, VERDICT r13 #6) so
+    * the streaming dedup-on-ingest admitted set (NearDupStream /
+    * `stream_neardup`) can feed the SAME gate the batch composite
+    * runs: curation = ANY admitted set ⋈ this gate. `keep` is any
+    * frame with a doc_id column; all stages after the keep join are
+    * map-side expressions + one (lang, split)-sized hash agg. */
+  private[graft] def curationGate(docs: org.apache.spark.sql.DataFrame,
+      keep: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.join(keep.select(col("doc_id")), "doc_id")
+      .where(col("quality") >= QualityGate)
+      .withColumn("b",
+        pmod(pmod(col("doc_id"), lit(SplitMod)) * 31 + 7, lit(100)))
+      .withColumn("split",
+        when(col("b") < 80, "train")
+          .when(col("b") < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        min(col("quality")).as("min_q"))
+      .orderBy("lang", "split")
+
   val queries: Map[String, QFn] = Map(
     // Sequence PACKING — the LLM-training step that concatenates
     // documents into fixed-capacity context windows (C = 512 tokens
@@ -453,30 +489,12 @@ object PipelineOps {
       // checked = true: same convergence guard as dedup_cluster_cc /
       // dedup_keep_best — never silently emit an unconverged clustering
       val clusters = TextSimOps.clusterCC(s, d, 6, checked = true)
-      // pinned (r13, §15.2.1 discipline): BOTH the keep-best argmax
-      // and the final gate consume docs — unpinned, the quality text
-      // derivation ran row-scaled TWICE
-      val docs = pin(t(s, d, "documents")
-        .withColumn("quality", TextAnalysisOps.qualityCol)
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .select(col("doc_id"), col("lang"), col("quality"),
-          col("n_tokens")))
+      val docs = qualityDocs(s, d)
       val keep = clusters.join(docs, "doc_id")
         .groupBy(col("cluster"))
         .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
         .select((-col("b.nid")).as("doc_id"))
-      docs.join(keep, "doc_id")
-        .where(col("quality") >= QualityGate)
-        .withColumn("b",
-          pmod(pmod(col("doc_id"), lit(SplitMod)) * 31 + 7, lit(100)))
-        .withColumn("split",
-          when(col("b") < 80, "train")
-            .when(col("b") < 90, "val").otherwise("test"))
-        .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("docs"),
-          sum(col("n_tokens")).cast("long").as("tokens"),
-          min(col("quality")).as("min_q"))
-        .orderBy("lang", "split")
+      curationGate(docs, keep)
     }),
 
     // Deterministic WEIGHTED sampling without replacement (Efraimidis-

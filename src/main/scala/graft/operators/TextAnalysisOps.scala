@@ -357,7 +357,7 @@ object TextAnalysisOps {
 
   /** The text_quality composite score as a reusable Column (identical
     * arithmetic to the `text_quality` key; PipelineOps reuses it). */
-  private[operators] def qualityCol: Column = {
+  private[graft] def qualityCol: Column = {
     val toks = split(col("text"), " ")
     val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
       .cast("double") / col("n_chars")

@@ -60,6 +60,13 @@ object KnnScaleProbe {
         f"exact_rows=$ne%7d exact_s=$te%7.2f " +
         f"ivf_rows=$ni%7d ivf_s=$ti%7.2f " +
         f"edge_recall=${hits.toDouble / ne}%.3f")
+      // sweep this rung's pins before the next (ADVICE r13): without
+      // it each larger rung is timed under the accumulated block
+      // pressure of all earlier rungs — the exact hazard
+      // PercentileScaleProbe already sweeps before timing
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     spark.stop()
   }

@@ -33,7 +33,13 @@ object PercentileScaleProbe {
     }
     val li = Tables.t(spark, base, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    for (k <- Seq(1, 2, 4, 8)) {
+    // ADVICE r13: remember whether outRoot pre-existed — the cleanup
+    // below must never recursively delete a directory the probe did
+    // not create (a mistyped outRoot pointing at a data directory
+    // would otherwise be silently destroyed)
+    val outRootPreExisted = new java.io.File(outRoot).exists()
+    val sizes = Seq(1, 2, 4, 8)
+    for (k <- sizes) {
       val dir = s"$outRoot/x$k"
       // k row-duplicated copies: the price DOMAIN is unchanged, so the
       // (group, cents) tie blocks saturate exactly k-fold. coalesce to
@@ -65,11 +71,15 @@ object PercentileScaleProbe {
         f"collapse=${rows.toDouble / blocks}%5.2fx mad_s=$t%6.2f rows_out=$n")
     }
     // the duplicated corpora are probe scratch — don't leave up to 15
-    // lineitem copies under /tmp (r13 review)
+    // lineitem copies under /tmp (r13 review). Delete ONLY the x$k
+    // subdirectories this probe wrote; remove outRoot itself only when
+    // the probe created it (ADVICE r13 — never destroy a pre-existing
+    // directory handed in by mistake).
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    rm(new java.io.File(outRoot))
+    sizes.foreach(k => rm(new java.io.File(s"$outRoot/x$k")))
+    if (!outRootPreExisted) new java.io.File(outRoot).delete()
     spark.stop()
   }
 }

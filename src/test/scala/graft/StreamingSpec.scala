@@ -272,6 +272,119 @@ class StreamingSpec extends SparkTestBase {
       s"degenerate: kept ${batchKept.size} of ${docs.length}")
   }
 
+  test("streaming admitted set through the curation gate equals the batch composite") {
+    // VERDICT r13 #6: pipe_curation_e2e positions dedup-on-ingest as its
+    // streaming twin — prove the COMPOSITION: chronological replay →
+    // NearDupStream admitted set → the shipped curation gate seam
+    // (PipelineOps.curationGate) equals a batch composite spelled with
+    // LITERAL expressions (r12 review discipline: the reference side is
+    // an independent spelling, not the seam under test).
+    val ss = spark
+    import ss.implicits._
+    val docsRows = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = freshDir()
+    val (h1, h2) = docsRows.splitAt(docsRows.length / 2)
+    Seq(h1, h2).zipWithIndex.foreach { case (rows, i) =>
+      val f = new java.io.File(dir, s"chunk$i")
+      rows.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(f.toString)
+      val ts = System.currentTimeMillis() - 60000 + i * 2000L
+      f.listFiles().foreach(_.setLastModified(ts))
+      f.setLastModified(ts)
+    }
+    val schema = spark.read.parquet(s"$dir/chunk0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val hits = graft.streaming.NearDupStream.bucketHits(
+      operators.TextSimOps.bandRowsOf(stream)
+        .as[graft.streaming.NearDupStream.BandRow])
+    val q = hits.writeStream.format("memory").queryName("neardup_gate_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val admitted = spark.table("neardup_gate_out")
+      .groupBy("doc_id")
+      .agg(max(col("collided").cast("int")).as("c"))
+      .where("c = 0").select("doc_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val got = canon(operators.PipelineOps.curationGate(
+      operators.PipelineOps.qualityDocs(spark, sf), admitted))
+    // batch composite, literal: first-arrival-per-bucket keep set, then
+    // gate/split/summary as inline expressions with literal constants
+    val bk = operators.TextSimOps.bandRowsOf(
+      graft.Tables.t(spark, sf, "documents"))
+    val firstKeep = bk
+      .join(bk.groupBy(col("band"), col("bkey"))
+        .agg(min(col("doc_id")).as("first")), Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("first") === col("doc_id"), 0)
+        .otherwise(1)).as("coll"))
+      .where(col("coll") === 0).select("doc_id")
+    val want = canon(graft.Tables.t(spark, sf, "documents")
+      .withColumn("quality", operators.TextAnalysisOps.qualityCol)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .join(firstKeep, "doc_id")
+      .where(col("quality") >= 0.5)
+      .withColumn("b",
+        pmod(pmod(col("doc_id"), lit(1009)) * 31 + 7, lit(100)))
+      .withColumn("split",
+        when(col("b") < 80, "train")
+          .when(col("b") < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        min(col("quality")).as("min_q"))
+      .orderBy("lang", "split"))
+    assert(got == want, s"composite diverged: got $got want $want")
+    assert(got.nonEmpty, "gate emitted no (lang, split) rows")
+    val admittedN = admitted.count()
+    assert(admittedN < docsRows.length,
+      s"degenerate replay: dedup admitted all ${docsRows.length} docs")
+    // Gate selectivity is corpus-dependent: the synthetic corpus's
+    // quality floor sits above the 0.5 gate at EVERY SF (measured:
+    // min q ≈ 0.72), so a "gate cut something" assertion would pin
+    // the corpus, not the composition. The gate's cut DIRECTION is
+    // pinned by the synthetic-frame curationGate test below; here the
+    // composition equality plus row conservation is the contract.
+    assert(got.map(_._3).sum <= admittedN)
+  }
+
+  test("curationGate cuts sub-gate docs and splits deterministically") {
+    // synthetic frame: the corpus never exercises the 0.5 cut (floor
+    // ≈ 0.72 at every SF), so without this the gate predicate's
+    // direction/constant would be tested by NOTHING — a flipped >= or
+    // a mistyped constant would still pass every oracle
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "en", 0.49, 10L), // sub-gate: must be cut
+      (2L, "en", 0.50, 20L), // boundary: >= keeps it
+      (3L, "de", 0.80, 30L),
+      (4L, "en", 0.95, 40L)
+    ).toDF("doc_id", "lang", "quality", "n_tokens")
+    val keep = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = operators.PipelineOps.curationGate(docs, keep)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val tot = out.map(_._3).sum
+    assert(tot == 3L, s"gate kept $tot of 4 (want 3: doc 1 cut): $out")
+    assert(out.forall(_._5 >= 0.5), s"sub-gate min_q leaked: $out")
+    // split is a pure function of doc_id — recomputing must agree
+    val expectSplit = Seq(2L, 3L, 4L).map { id =>
+      val b = ((id % 1009) * 31 + 7) % 100
+      id -> (if (b < 80) "train" else if (b < 90) "val" else "test")
+    }.toMap
+    val bySplit = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    expectSplit.values.toSet.foreach { (sp: String) =>
+      assert(bySplit.getOrElse(sp, 0L) ==
+        expectSplit.count(_._2 == sp).toLong,
+        s"split $sp count mismatch: got $bySplit want $expectSplit")
+    }
+  }
+
   test("streaming tumbling windows equal batch counts (append mode)") {
     val (dir, _, _, _) = stageChunks(withLate = false)
     val schema = spark.read.parquet(s"$dir/chunk1").schema

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Fold N graft.Bench output snapshots into BAND.json (VERDICT r13 #5).
+
+The suite-spread band ("four full runs landed in 133.1-159.3 s") used to
+live as prose in DESIGN §15.5a; this makes it a re-runnable artifact.
+
+Usage:
+    python3 tools/bench_band.py OUT.json run1.json run2.json [...]
+
+Each runN.json is a graft.Bench output line:
+    {"metric":"total","value":N,"unit":"sec","queries":{k:sec,...},"sf":...}
+
+OUT.json records:
+    runs        - per-input file: total + key count
+    total_band  - [min, max] of the per-run totals
+    keys        - per key: min / median / max across runs + spread (max/min)
+    top_spread  - the 15 keys with the widest relative spread, only among
+                  keys whose max >= 0.5 s (sub-second keys flap on noise
+                  and would drown the list)
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    runs, keymap = [], {}
+    for p in run_paths:
+        with open(p) as f:
+            d = json.load(f)
+        qs = d.get("queries", {})
+        runs.append({"file": p, "total": d.get("value"), "keys": len(qs)})
+        for k, v in qs.items():
+            keymap.setdefault(k, []).append(v)
+    keysets = [set(json.load(open(p)).get("queries", {})) for p in run_paths]
+    common = set.intersection(*keysets) if keysets else set()
+    keys = {}
+    for k, vs in sorted(keymap.items()):
+        lo, hi = min(vs), max(vs)
+        keys[k] = {
+            "n": len(vs),
+            "min": round(lo, 3),
+            "med": round(statistics.median(vs), 3),
+            "max": round(hi, 3),
+            "spread": round(hi / lo, 2) if lo > 0 else None,
+        }
+    top = sorted(
+        (k for k, s in keys.items() if s["max"] >= 0.5 and s["n"] > 1),
+        key=lambda k: -(keys[k]["spread"] or 0),
+    )[:15]
+    band = {
+        "runs": runs,
+        "total_band": [
+            round(min(r["total"] for r in runs), 1),
+            round(max(r["total"] for r in runs), 1),
+        ],
+        "common_keys": len(common),
+        "keys": keys,
+        "top_spread": [{"key": k, **keys[k]} for k in top],
+    }
+    with open(out_path, "w") as f:
+        json.dump(band, f, indent=1)
+        f.write("\n")
+    print(
+        f"BAND: {len(runs)} runs, totals "
+        f"{band['total_band'][0]}-{band['total_band'][1]} s, "
+        f"{len(common)} common keys -> {out_path}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
