@@ -93,11 +93,15 @@ object Bench {
       // timed section, once per key — NOT the per-attempt global
       // sweep + System.gc(), which measured as a 150.4 → 167.9 s net
       // loss (DESIGN §15.5a).
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!pinsBefore.contains(id))
-          try rdd.unpersist(blocking = false)
-          catch { case _: Throwable => () }
+      val swept = spark.sparkContext.getPersistentRDDs.count {
+        case (id, rdd) =>
+          !pinsBefore.contains(id) && {
+            try { rdd.unpersist(blocking = false); true }
+            catch { case _: Throwable => false }
+          }
       }
+      if (swept > 0)
+        System.err.println(s"[bench] $name swept $swept pins")
       val dt =
         if (attempts.exists(_._2 < 0)) attempts.map(_._1).max
         else {
