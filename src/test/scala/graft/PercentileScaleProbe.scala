@@ -39,8 +39,13 @@ object PercentileScaleProbe {
     // would otherwise be silently destroyed)
     val outRootPreExisted = new java.io.File(outRoot).exists()
     val sizes = Seq(1, 2, 4, 8)
+    // r14 review: track which x$k dirs this run CREATED — a
+    // pre-existing x$k under a mistyped outRoot may hold sibling
+    // files the probe never wrote, so cleanup must skip it too
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
     for (k <- sizes) {
       val dir = s"$outRoot/x$k"
+      if (!new java.io.File(dir).exists()) created += dir
       // k row-duplicated copies: the price DOMAIN is unchanged, so the
       // (group, cents) tie blocks saturate exactly k-fold. coalesce to
       // the session's parallelism so the corpus layout matches what
@@ -72,13 +77,14 @@ object PercentileScaleProbe {
     }
     // the duplicated corpora are probe scratch — don't leave up to 15
     // lineitem copies under /tmp (r13 review). Delete ONLY the x$k
-    // subdirectories this probe wrote; remove outRoot itself only when
-    // the probe created it (ADVICE r13 — never destroy a pre-existing
-    // directory handed in by mistake).
+    // subdirectories this run CREATED; remove outRoot itself only when
+    // the probe created it (ADVICE r13 + r14 review — never destroy a
+    // pre-existing directory handed in by mistake, including a
+    // pre-existing x$k child).
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    sizes.foreach(k => rm(new java.io.File(s"$outRoot/x$k")))
+    created.foreach(d => rm(new java.io.File(d)))
     if (!outRootPreExisted) new java.io.File(outRoot).delete()
     spark.stop()
   }

@@ -229,56 +229,14 @@ class StreamingSpec extends SparkTestBase {
         s"(${want.count(_._3 == -1L)} null-matched)")
   }
 
-  test("streaming near-dup ingest equals the batch stream_neardup key") {
-    // chronological replay of the documents table in doc_id-ordered
-    // chunks; the streaming first-seen-wins bucket state must admit
-    // exactly the docs the batch formulation (first = min doc_id per
-    // band bucket) keeps
-    val ss = spark
-    import ss.implicits._
-    val docs = graft.Tables.t(spark, sf, "documents")
-      .select("doc_id", "text").orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val dir = freshDir()
-    val (h1, h2) = docs.splitAt(docs.length / 2)
-    Seq(h1, h2).zipWithIndex.foreach { case (rows, i) =>
-      val f = new java.io.File(dir, s"chunk$i")
-      rows.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(f.toString)
-      val ts = System.currentTimeMillis() - 60000 + i * 2000L
-      f.listFiles().foreach(_.setLastModified(ts))
-      f.setLastModified(ts)
-    }
-    val schema = spark.read.parquet(s"$dir/chunk0").schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
-    val hits = graft.streaming.NearDupStream.bucketHits(
-      operators.TextSimOps.bandRowsOf(stream)
-        .as[graft.streaming.NearDupStream.BandRow])
-    val q = hits.writeStream.format("memory").queryName("neardup_out")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val streamedKept = spark.table("neardup_out")
-      .groupBy("doc_id")
-      .agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("collided").cast("int")).as("c"))
-      .where("c = 0").collect().map(_.getLong(0)).toSet
-    val batchKept = SparkEntry.queries("stream_neardup")(spark, sf)
-      .collect().map(_.getLong(0)).toSet
-    assert(streamedKept == batchKept,
-      s"stream-only=${(streamedKept -- batchKept).take(5)} " +
-        s"batch-only=${(batchKept -- streamedKept).take(5)}")
-    assert(batchKept.nonEmpty && batchKept.size < docs.length,
-      s"degenerate: kept ${batchKept.size} of ${docs.length}")
-  }
-
-  test("streaming admitted set through the curation gate equals the batch composite") {
-    // VERDICT r13 #6: pipe_curation_e2e positions dedup-on-ingest as its
-    // streaming twin — prove the COMPOSITION: chronological replay →
-    // NearDupStream admitted set → the shipped curation gate seam
-    // (PipelineOps.curationGate) equals a batch composite spelled with
-    // LITERAL expressions (r12 review discipline: the reference side is
-    // an independent spelling, not the seam under test).
+  /** Chronological replay of the documents table in two doc_id-ordered
+    * chunks through NearDupStream's first-seen-wins bucket state;
+    * returns (admitted doc_id frame, corpus size). ONE replay
+    * discipline shared by the equivalence and composite tests (r14
+    * review — two hand-synced copies silently drifted apart is the
+    * exact hazard). */
+  private def streamAdmitted(queryName: String)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     val ss = spark
     import ss.implicits._
     val docsRows = graft.Tables.t(spark, sf, "documents")
@@ -299,14 +257,39 @@ class StreamingSpec extends SparkTestBase {
     val hits = graft.streaming.NearDupStream.bucketHits(
       operators.TextSimOps.bandRowsOf(stream)
         .as[graft.streaming.NearDupStream.BandRow])
-    val q = hits.writeStream.format("memory").queryName("neardup_gate_out")
+    val q = hits.writeStream.format("memory").queryName(queryName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val admitted = spark.table("neardup_gate_out")
+    (spark.table(queryName)
       .groupBy("doc_id")
       .agg(max(col("collided").cast("int")).as("c"))
-      .where("c = 0").select("doc_id")
+      .where("c = 0").select("doc_id"), docsRows.length)
+  }
+
+  test("streaming near-dup ingest equals the batch stream_neardup key") {
+    // the streaming first-seen-wins bucket state must admit exactly
+    // the docs the batch formulation (first = min doc_id per band
+    // bucket) keeps
+    val (admitted, total) = streamAdmitted("neardup_out")
+    val streamedKept = admitted.collect().map(_.getLong(0)).toSet
+    val batchKept = SparkEntry.queries("stream_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedKept == batchKept,
+      s"stream-only=${(streamedKept -- batchKept).take(5)} " +
+        s"batch-only=${(batchKept -- streamedKept).take(5)}")
+    assert(batchKept.nonEmpty && batchKept.size < total,
+      s"degenerate: kept ${batchKept.size} of $total")
+  }
+
+  test("streaming admitted set through the curation gate equals the batch composite") {
+    // VERDICT r13 #6: pipe_curation_e2e positions dedup-on-ingest as its
+    // streaming twin — prove the COMPOSITION: chronological replay →
+    // NearDupStream admitted set → the shipped curation gate seam
+    // (PipelineOps.curationGate) equals a batch composite spelled with
+    // LITERAL expressions (r12 review discipline: the reference side is
+    // an independent spelling, not the seam under test).
+    val (admitted, total) = streamAdmitted("neardup_gate_out")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
@@ -341,8 +324,8 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"composite diverged: got $got want $want")
     assert(got.nonEmpty, "gate emitted no (lang, split) rows")
     val admittedN = admitted.count()
-    assert(admittedN < docsRows.length,
-      s"degenerate replay: dedup admitted all ${docsRows.length} docs")
+    assert(admittedN < total,
+      s"degenerate replay: dedup admitted all $total docs")
     // Gate selectivity is corpus-dependent: the synthetic corpus's
     // quality floor sits above the 0.5 gate at EVERY SF (measured:
     // min q ≈ 0.72), so a "gate cut something" assertion would pin
@@ -359,24 +342,32 @@ class StreamingSpec extends SparkTestBase {
     // a mistyped constant would still pass every oracle
     val ss = spark
     import ss.implicits._
+    // ids chosen so the recomputed b = ((id%1009)*31+7)%100 lands in
+    // ALL THREE split ranges (r14 review: with only train-landing ids
+    // the val/test branches and both boundaries went unexercised —
+    // 2,3,4 → b 69,0,31 train; 109 → 86 val; 6 → 93 test)
     val docs = Seq(
-      (1L, "en", 0.49, 10L), // sub-gate: must be cut
-      (2L, "en", 0.50, 20L), // boundary: >= keeps it
-      (3L, "de", 0.80, 30L),
-      (4L, "en", 0.95, 40L)
+      (1L, "en", 0.49, 10L),   // sub-gate: must be cut
+      (2L, "en", 0.50, 20L),   // boundary: >= keeps it; train
+      (3L, "de", 0.80, 30L),   // train
+      (4L, "en", 0.95, 40L),   // train
+      (109L, "de", 0.90, 11L), // val
+      (6L, "en", 0.85, 12L)    // test
     ).toDF("doc_id", "lang", "quality", "n_tokens")
-    val keep = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val keep = docs.select("doc_id")
     val out = operators.PipelineOps.curationGate(docs, keep)
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
     val tot = out.map(_._3).sum
-    assert(tot == 3L, s"gate kept $tot of 4 (want 3: doc 1 cut): $out")
+    assert(tot == 5L, s"gate kept $tot of 6 (want 5: doc 1 cut): $out")
     assert(out.forall(_._5 >= 0.5), s"sub-gate min_q leaked: $out")
     // split is a pure function of doc_id — recomputing must agree
-    val expectSplit = Seq(2L, 3L, 4L).map { id =>
+    val expectSplit = Seq(2L, 3L, 4L, 109L, 6L).map { id =>
       val b = ((id % 1009) * 31 + 7) % 100
       id -> (if (b < 80) "train" else if (b < 90) "val" else "test")
     }.toMap
+    assert(expectSplit.values.toSet == Set("train", "val", "test"),
+      s"fixture regression: ids no longer span all splits: $expectSplit")
     val bySplit = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     expectSplit.values.toSet.foreach { (sp: String) =>
       assert(bySplit.getOrElse(sp, 0L) ==

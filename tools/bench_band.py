@@ -28,15 +28,19 @@ def main() -> int:
         print(__doc__, file=sys.stderr)
         return 2
     out_path, run_paths = sys.argv[1], sys.argv[2:]
-    runs, keymap = [], {}
+    runs, keymap, keysets = [], {}, []
     for p in run_paths:
         with open(p) as f:
             d = json.load(f)
         qs = d.get("queries", {})
-        runs.append({"file": p, "total": d.get("value"), "keys": len(qs)})
+        if not isinstance(d.get("value"), (int, float)):
+            print(f"bench_band: {p} has no numeric 'value' field "
+                  "(truncated or per-key-only snapshot?)", file=sys.stderr)
+            return 2
+        runs.append({"file": p, "total": d["value"], "keys": len(qs)})
+        keysets.append(set(qs))
         for k, v in qs.items():
             keymap.setdefault(k, []).append(v)
-    keysets = [set(json.load(open(p)).get("queries", {})) for p in run_paths]
     common = set.intersection(*keysets) if keysets else set()
     keys = {}
     for k, vs in sorted(keymap.items()):
