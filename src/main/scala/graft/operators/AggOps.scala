@@ -43,13 +43,19 @@ object AggOps {
     // partitioning ranks by bucket id instead of the caller's group,
     // wrong results with no error. Reject loudly instead, matching the
     // alias-collision guard countPercentiles already carries.
-    require(!PrefixInternalCols(grp) && grp != "v" && grp != "cnt",
+    // Lower-cased comparison (r14 review): withColumn resolves
+    // case-INsensitively under the default spark.sql.caseSensitive=
+    // false, so "BK"/"Off" collide exactly like "bk"/"off".
+    val gl = grp.toLowerCase(java.util.Locale.ROOT)
+    require(!PrefixInternalCols(gl) && gl != "v" && gl != "cnt",
       s"exclusivePrefix: grp column '$grp' collides with a reserved " +
         "column name (bk, lprev, off, cprev, v, cnt)")
-    require(!cnts.columns.exists(PrefixInternalCols),
+    val clash = cnts.columns
+      .filter(c => PrefixInternalCols(c.toLowerCase(java.util.Locale.ROOT)))
+    require(clash.isEmpty,
       "exclusivePrefix: input carries reserved internal column(s) " +
-        s"${cnts.columns.filter(PrefixInternalCols).mkString(", ")} — " +
-        "bk/lprev/off/cprev would be silently overwritten; rename them")
+        s"${clash.mkString(", ")} — bk/lprev/off/cprev would be " +
+        "silently overwritten; rename them")
     val vals = cnts.withColumn("bk", expr(s"v div $bucket"))
     val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -133,8 +139,11 @@ object AggOps {
     // Reserved-name guard (ADVICE r13): grp is threaded through
     // exclusivePrefix's internal withColumns and this method's own
     // n/nr/vmax attachments — a collision silently overwrites it.
-    require(!PrefixInternalCols(grp) &&
-      !Set("v", "cnt", "n", "nr", "vmax")(grp),
+    // Lower-cased like exclusivePrefix's guard (r14 review: column
+    // resolution is case-insensitive by default).
+    require(!PrefixInternalCols(grp.toLowerCase(java.util.Locale.ROOT)) &&
+      !Set("v", "cnt", "n", "nr", "vmax")(
+        grp.toLowerCase(java.util.Locale.ROOT)),
       s"countPercentiles: grp column '$grp' collides with a reserved " +
         "column name (bk, lprev, off, cprev, v, cnt, n, nr, vmax)")
     val aliases = ps.map(_._1)

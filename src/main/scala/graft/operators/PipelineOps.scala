@@ -142,8 +142,14 @@ object PipelineOps {
     * the streaming dedup-on-ingest admitted set (NearDupStream /
     * `stream_neardup`) can feed the SAME gate the batch composite
     * runs: curation = ANY admitted set ⋈ this gate. `keep` is any
-    * frame with a doc_id column; all stages after the keep join are
-    * map-side expressions + one (lang, split)-sized hash agg. */
+    * frame with a doc_id column that is UNIQUE on doc_id — the join
+    * is inner-with-multiplicity, so a duplicated admitted id would
+    * silently double-count docs/tokens (r14 review; de-duplicating
+    * here would charge every caller a row-scaled exchange the shipped
+    * callers never need: the CC argmax emits one doc per cluster and
+    * the streaming admitted set is a groupBy(doc_id)). All stages
+    * after the keep join are map-side expressions + one
+    * (lang, split)-sized hash agg. */
   private[graft] def curationGate(docs: org.apache.spark.sql.DataFrame,
       keep: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =

@@ -28,15 +28,12 @@ object KnnScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     val emb = Tables.t(spark, base, "embeddings")
-    // scratch bookkeeping (r14 review — same hazard class the sibling
-    // PercentileScaleProbe cleans up): delete only what this run
-    // created, never a pre-existing directory handed in by mistake
-    val outRootPreExisted = new java.io.File(outRoot).exists()
-    val sizes = Seq(1, 2, 4, 8)
-    val created = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (k <- sizes) {
+    // scratch discipline (r14 review — same hazard class the sibling
+    // PercentileScaleProbe closes): sentinel-gated root, exception-safe
+    // cleanup, never a write into a pre-existing data directory
+    ProbeScratch.runWith(outRoot) {
+    for (k <- Seq(1, 2, 4, 8)) {
       val dir = s"$outRoot/x$k"
-      if (!new java.io.File(dir).exists()) created += dir
       (0 until k).map { j =>
         if (j == 0) emb
         else emb.select(
@@ -75,12 +72,7 @@ object KnnScaleProbe {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    // delete only the x$k dirs this run created (r14 review)
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    created.foreach(d => rm(new java.io.File(d)))
-    if (!outRootPreExisted) new java.io.File(outRoot).delete()
     spark.stop()
   }
 }

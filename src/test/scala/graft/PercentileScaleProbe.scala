@@ -33,19 +33,13 @@ object PercentileScaleProbe {
     }
     val li = Tables.t(spark, base, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    // ADVICE r13: remember whether outRoot pre-existed — the cleanup
-    // below must never recursively delete a directory the probe did
-    // not create (a mistyped outRoot pointing at a data directory
-    // would otherwise be silently destroyed)
-    val outRootPreExisted = new java.io.File(outRoot).exists()
-    val sizes = Seq(1, 2, 4, 8)
-    // r14 review: track which x$k dirs this run CREATED — a
-    // pre-existing x$k under a mistyped outRoot may hold sibling
-    // files the probe never wrote, so cleanup must skip it too
-    val created = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (k <- sizes) {
+    // scratch discipline: ProbeScratch refuses a pre-existing
+    // NON-scratch outRoot before any write (ADVICE r13 + r14 review),
+    // and deletes the claimed root even when a rung throws — don't
+    // leave up to 15 lineitem copies under /tmp
+    ProbeScratch.runWith(outRoot) {
+    for (k <- Seq(1, 2, 4, 8)) {
       val dir = s"$outRoot/x$k"
-      if (!new java.io.File(dir).exists()) created += dir
       // k row-duplicated copies: the price DOMAIN is unchanged, so the
       // (group, cents) tie blocks saturate exactly k-fold. coalesce to
       // the session's parallelism so the corpus layout matches what
@@ -75,17 +69,7 @@ object PercentileScaleProbe {
       println(f"[pctscale] k=$k%d rows=$rows%8d blocks=$blocks%7d " +
         f"collapse=${rows.toDouble / blocks}%5.2fx mad_s=$t%6.2f rows_out=$n")
     }
-    // the duplicated corpora are probe scratch — don't leave up to 15
-    // lineitem copies under /tmp (r13 review). Delete ONLY the x$k
-    // subdirectories this run CREATED; remove outRoot itself only when
-    // the probe created it (ADVICE r13 + r14 review — never destroy a
-    // pre-existing directory handed in by mistake, including a
-    // pre-existing x$k child).
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
     }
-    created.foreach(d => rm(new java.io.File(d)))
-    if (!outRootPreExisted) new java.io.File(outRoot).delete()
     spark.stop()
   }
 }

@@ -260,7 +260,11 @@ class StreamingSpec extends SparkTestBase {
     val q = hits.writeStream.format("memory").queryName(queryName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // r14 review: a false return means the AvailableNow query is STILL
+    // RUNNING — reading the memory table then yields a partial admitted
+    // set and a misleading set-diff failure (and the query leaks into
+    // later tests); fail with the real cause instead
+    assert(q.awaitTermination(120000), "near-dup replay stream timed out")
     (spark.table(queryName)
       .groupBy("doc_id")
       .agg(max(col("collided").cast("int")).as("c"))

@@ -37,10 +37,25 @@ def main() -> int:
             print(f"bench_band: {p} has no numeric 'value' field "
                   "(truncated or per-key-only snapshot?)", file=sys.stderr)
             return 2
-        runs.append({"file": p, "total": d["value"], "keys": len(qs)})
+        runs.append(
+            {"file": p, "total": d["value"], "keys": len(qs),
+             "sf": d.get("sf")})
         keysets.append(set(qs))
         for k, v in qs.items():
             keymap.setdefault(k, []).append(v)
+    # a band is only meaningful over SAME-SUITE runs: folding a
+    # SPARK_GRAFT_ONLY subset or a different-sf snapshot in would make
+    # total_band's min a bogus subset total — refuse, don't warn
+    if any(ks != keysets[0] for ks in keysets):
+        print("bench_band: input runs cover DIFFERENT key sets "
+              f"({sorted(len(k) for k in keysets)}) — a mixed band is "
+              "meaningless; pass full-suite runs only", file=sys.stderr)
+        return 2
+    if len({r["sf"] for r in runs}) > 1:
+        print("bench_band: input runs were taken at different sf dirs "
+              f"({sorted({str(r['sf']) for r in runs})}) — refuse to fold",
+              file=sys.stderr)
+        return 2
     common = set.intersection(*keysets) if keysets else set()
     keys = {}
     for k, vs in sorted(keymap.items()):
