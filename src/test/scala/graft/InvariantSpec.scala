@@ -340,6 +340,37 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("reserved-name guards reject collisions case-insensitively " +
+    "(ADVICE r13 + r14 review)") {
+    // withColumn resolves case-INsensitively under the default
+    // spark.sql.caseSensitive=false, so a grp/input column named BK
+    // or Off is exactly as silently-overwritten as bk/off — the guard
+    // must catch both spellings, and the percentiles guard must also
+    // cover its own n/nr/vmax attachments.
+    val ss = spark
+    import ss.implicits._
+    val cnts = Seq(("a", 1L, 2L)).toDF("g", "v", "cnt")
+    for (bad <- Seq("bk", "BK", "off", "Off", "cprev", "v", "CNT")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.AggOps.exclusivePrefix(
+          cnts.withColumnRenamed("g", bad), bad)
+      }
+      assert(e.getMessage.contains("reserved"), s"grp=$bad: $e")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AggOps.exclusivePrefix(
+        Seq(("a", 1L, 2L, 0L)).toDF("g", "v", "cnt", "LPREV"), "g")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    for (bad <- Seq("NR", "vmax", "N")) {
+      val e3 = intercept[IllegalArgumentException] {
+        graft.operators.AggOps.countPercentiles(
+          Seq((1L, 1L)).toDF(bad, "v"), bad, Seq(("p50", 0.5)))
+      }
+      assert(e3.getMessage.contains("reserved"), s"grp=$bad: $e3")
+    }
+  }
+
   test("countPercentiles rejects contract-violating input loudly " +
     "(r13 review: no silent semantics switch)") {
     // The pre-counted switch is an explicit parameter, never a
