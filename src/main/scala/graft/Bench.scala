@@ -92,11 +92,14 @@ object Bench {
       // Release ONLY the pins this key's attempts created, OUTSIDE the
       // timed section, once per key — NOT the per-attempt global
       // sweep + System.gc(), which measured as a 150.4 → 167.9 s net
-      // loss (DESIGN §15.5a).
+      // loss (DESIGN §15.5a). blocking = true (ADVICE r14): async
+      // removal can overlap the NEXT key's first timed attempt; the
+      // synchronous wait here is free because the sweep runs outside
+      // every timed section.
       val swept = spark.sparkContext.getPersistentRDDs.count {
         case (id, rdd) =>
           !pinsBefore.contains(id) && {
-            try { rdd.unpersist(blocking = false); true }
+            try { rdd.unpersist(blocking = true); true }
             catch { case _: Throwable => false }
           }
       }
@@ -111,13 +114,21 @@ object Bench {
           // invents a time no run produced
           s(s.length / 2)
         }
-      name -> dt
+      name -> (dt, attempts.map(_._1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Per-attempt times IN ORDER (VERDICT r14 #7): the median hides
+    // the cold-vs-steady split, so a driver-vs-canonical gap (r13/r14
+    // agg_mad) needed a TimeKey rerun to adjudicate. With the raw
+    // attempts in the artifact, try1/median is readable from the
+    // record itself (tools/bench_band.py folds it as cold_ratio).
+    val ts = results.map { case (k, (_, tries)) =>
+      s"\"" + k + "\":" + tries.map(t => f"$t%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tries":$ts,"sf":"$sfDir"}"""
     println(line)
     // stdout capture truncates (r2/r3 each lost ~19 per-key timings to the
     // tail cut) — persist the full line to a file as well.

@@ -28,11 +28,21 @@ object TimeKey {
     }
     val fn = SparkEntry.queries(key)
     for (i <- 1 to runs) {
+      // targeted pin sweep per run, matching Bench's end-of-key sweep
+      // (r15): without it each run accrues the previous runs' dead
+      // localCheckpoint pins and the "steady" reading drifts upward
+      // with run count (agg_mad read 4.3 s here vs 2.3 s staged with
+      // swept pins at the same HEAD)
+      val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // full-plan execution, matching Bench (a bare count() lets
       // Catalyst prune unused window/sort tails — DESIGN §13)
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[timekey] $key run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinsBefore.contains(id)) rdd.unpersist(blocking = true)
+      }
+      System.gc()
     }
     spark.stop()
   }

@@ -160,12 +160,24 @@ object AggOps {
           coalesce(col("cnt").cast("string"), lit("NULL"))))
           .cast("long"))
       .otherwise(col("cnt"))
+    // The collapsed tie-block table fans out to THREE consumers below
+    // (ntab, and exclusivePrefix's offset table + window chain), whose
+    // exchange subtrees differ (the NULL-v filter pushes below one
+    // aggregate but not the other), so ReuseExchange cannot dedupe
+    // them — unpinned, the row-scaled collapse re-executed once per
+    // consumer (r15 MadStageProbe: agg_mad's deviation pass read
+    // 1.9 s steady vs 0.12 s for the same work over a pinned input).
+    // Pin the collapse: the value-domain-sized block table writes
+    // once and every consumer reads blocks; at open scale this trades
+    // two extra row-scaled shuffles for one dimension-sized
+    // checkpoint write. collapsed = true inputs are the caller's own
+    // (already pinned or cheap) table — left untouched.
     val cnts =
       if (preCounted)
         if (collapsed) vals0.select(col(grp), col("v"), cntOk.as("cnt"))
-        else vals0.groupBy(col(grp), col("v")).agg(sum(cntOk).as("cnt"))
+        else pin(vals0.groupBy(col(grp), col("v")).agg(sum(cntOk).as("cnt")))
       else
-        vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt"))
+        pin(vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt")))
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
       coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
         .as("nr"))

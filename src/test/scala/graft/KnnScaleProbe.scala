@@ -34,6 +34,12 @@ object KnnScaleProbe {
     ProbeScratch.runWith(outRoot) {
     for (k <- Seq(1, 2, 4, 8)) {
       val dir = s"$outRoot/x$k"
+      // Snapshot the live pin ids BEFORE this rung so the end-of-rung
+      // sweep releases exactly what the rung created (ADVICE r14): a
+      // global unpersist is correct only while no pin is hoisted above
+      // the loop — a future shared pin would be silently dropped after
+      // rung 1 and recomputed every later rung. Mirrors Bench.scala.
+      val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
       (0 until k).map { j =>
         if (j == 0) emb
         else emb.select(
@@ -68,8 +74,9 @@ object KnnScaleProbe {
       // it each larger rung is timed under the accumulated block
       // pressure of all earlier rungs — the exact hazard
       // PercentileScaleProbe already sweeps before timing
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinsBefore.contains(id)) rdd.unpersist(blocking = true)
+      }
       System.gc()
     }
     }

@@ -31,6 +31,13 @@ object ProbeScratch {
   }
 
   private def rm(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    // Never recurse through a directory SYMLINK (ADVICE r14):
+    // listFiles follows it, so a link inside the scratch root would
+    // have its TARGET's contents deleted — outside the sentinel-guarded
+    // root. Delete the link itself only.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+    }
+    f.delete()
   }
 }

@@ -13,7 +13,9 @@ Each runN.json is a graft.Bench output line:
 OUT.json records:
     runs        - per-input file: total + key count
     total_band  - [min, max] of the per-run totals
-    keys        - per key: min / median / max across runs + spread (max/min)
+    keys        - per key: min / median / max across runs + spread (max/min);
+                  runs that carry per-attempt "tries" add cold_ratio =
+                  worst try1/median (cold-draw cost, VERDICT r14 #7)
     top_spread  - the 15 keys with the widest relative spread, only among
                   keys whose max >= 0.5 s (sub-second keys flap on noise
                   and would drown the list)
@@ -29,10 +31,14 @@ def main() -> int:
         return 2
     out_path, run_paths = sys.argv[1], sys.argv[2:]
     runs, keymap, keysets = [], {}, []
+    trymap = {}
     for p in run_paths:
         with open(p) as f:
             d = json.load(f)
         qs = d.get("queries", {})
+        for k, t in d.get("tries", {}).items():
+            if isinstance(t, list) and t:
+                trymap.setdefault(k, []).append(t)
         if not isinstance(d.get("value"), (int, float)):
             print(f"bench_band: {p} has no numeric 'value' field "
                   "(truncated or per-key-only snapshot?)", file=sys.stderr)
@@ -67,6 +73,17 @@ def main() -> int:
             "max": round(hi, 3),
             "spread": round(hi / lo, 2) if lo > 0 else None,
         }
+        # cold-cost fold (VERDICT r14 #7): runs that carry per-attempt
+        # "tries" expose try1 (the cold draw) vs the key's median —
+        # the worst try1/median across runs adjudicates driver-route
+        # cold readings without a TimeKey rerun
+        ratios = [
+            t[0] / keys[k]["med"]
+            for t in trymap.get(k, [])
+            if len(t) > 0 and keys[k]["med"] > 0
+        ]
+        if ratios:
+            keys[k]["cold_ratio"] = round(max(ratios), 2)
     top = sorted(
         (k for k, s in keys.items() if s["max"] >= 0.5 and s["n"] > 1),
         key=lambda k: -(keys[k]["spread"] or 0),
