@@ -6,11 +6,13 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 (the operator inventory)
   * and §7 (build plan). Every key below is one §2 row; every key with a
   * deterministic ANSI-SQL formulation also appears in [[oracleSql]] for
-  * the driver's DuckDB hash-compare. The 10 ⊘ keys (agg_approx_distinct,
+  * the driver's DuckDB hash-compare. The 9 ⊘ keys (agg_approx_distinct,
   * agg_approx_percentile, agg_hll_sketch, agg_cms_sketch, dedup_minhash,
-  * text_fingerprint, knn_ann_srp, knn_ivf, knn_graph_ivf, stream_neardup
-  * — sketch/LSH/IVF/stream internals differ across engines) are covered
-  * by in-repo tests instead (SURVEY §5).
+  * knn_ann_srp, knn_ivf, knn_graph_ivf, stream_neardup — sketch/LSH/
+  * IVF/stream internals differ across engines) are covered by in-repo
+  * tests instead (SURVEY §5). text_fingerprint left the ⊘ set in r15:
+  * its rolling hash is a closed-form polynomial mod 2⁶⁴, expressible
+  * in DuckDB via HUGEINT arithmetic.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

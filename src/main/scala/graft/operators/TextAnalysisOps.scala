@@ -145,8 +145,15 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     }),
 
-    // ⊘ rolling-hash fingerprints via the codegen'd ShingleHash64
-    // expression — no SQL oracle (iterative hash), ExtOpsSpec-verified.
+    // Rolling-hash fingerprints via the codegen'd ShingleHash64
+    // expression. Oracled since r15 (VERDICT r14 #6): the hash is a
+    // CLOSED FORM over the UTF-8 bytes — fp_full = Σ bᵢ·31^(n−1−i)
+    // mod 2⁶⁴ (positional polynomial, not inherently iterative), and
+    // the k=8 window hash never exceeds 255·Σ₀⁷31^t < 2⁴³, so min-over-
+    // windows needs no wraparound at all. DuckDB side: bytes via
+    // hex(encode(text)) pairs (byte-faithful for ANY UTF-8, validated
+    // against a non-ASCII probe doc), powers of 31 mod 2⁶⁴ from a
+    // recursive CTE in HUGEINT, signed-64 fold at the end.
     "text_fingerprint" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.GraftBridge
       def sh(c: Column, k: Int): Column =
@@ -386,6 +393,33 @@ object TextAnalysisOps {
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
+    // ShingleHash64 parity (r15): bs = UTF-8 bytes from hex pairs;
+    // fp_full = polynomial mod 2^64 via HUGEINT powers (recursive CTE
+    // sized by the longest doc); fp_min8 = exact BIGINT min over 8-byte
+    // windows (255 * sum(31^0..31^7) < 2^43 — no wrap); n <= 8 falls
+    // back to the full hash exactly like the k >= n branch in Scala.
+    "text_fingerprint" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "list_transform(range(octet_length(encode(text))), i -> " +
+        "((strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)) - 1)::BIGINT) AS bs, " +
+        "octet_length(encode(text)) AS n FROM documents), " +
+        "pw AS (SELECT list(p ORDER BY i) AS ps FROM (" +
+        "WITH RECURSIVE r(i, p) AS (SELECT 0, 1::HUGEINT UNION ALL " +
+        "SELECT i+1, (p * 31) % 18446744073709551616::HUGEINT FROM r " +
+        "WHERE i < (SELECT max(n) FROM b)) SELECT i, p FROM r)), " +
+        "h AS (SELECT doc_id, " +
+        "coalesce(list_sum(list_transform(range(n), i -> bs[i+1] * ps[n-i])), 0) " +
+        "% 18446744073709551616::HUGEINT AS m, " +
+        "CASE WHEN n <= 8 THEN " +
+        "coalesce(list_sum(list_transform(range(n), i -> bs[i+1]::HUGEINT * ps[n-i])), 0) " +
+        "ELSE list_min(list_transform(range(n-7), s -> " +
+        "bs[s+1]*27512614111 + bs[s+2]*887503681 + bs[s+3]*28629151 + " +
+        "bs[s+4]*923521 + bs[s+5]*29791 + bs[s+6]*961 + bs[s+7]*31 + bs[s+8])) " +
+        "END AS mn FROM b, pw) " +
+        "SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT " +
+        "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp_full, " +
+        "CAST(mn AS BIGINT) AS fp_min8 FROM h ORDER BY doc_id"),
     "text_feature_hash" ->
       ("SELECT doc_id, " +
         "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 " +

@@ -61,7 +61,7 @@ class OperatorSmokeSpec extends SparkTestBase {
     // someone forgot the oracle: the correctness gate would silently
     // downgrade it to a rows-only check.
     val declaredNoOracle = Set("agg_approx_distinct", "agg_approx_percentile",
-      "agg_hll_sketch", "agg_cms_sketch", "dedup_minhash", "text_fingerprint",
+      "agg_hll_sketch", "agg_cms_sketch", "dedup_minhash",
       "knn_ann_srp", "knn_ivf", "knn_graph_ivf", "stream_neardup")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == declaredNoOracle,
