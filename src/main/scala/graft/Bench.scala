@@ -114,7 +114,7 @@ object Bench {
           // invents a time no run produced
           s(s.length / 2)
         }
-      name -> (dt, attempts.map(_._1))
+      name -> (dt, attempts)
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -123,8 +123,16 @@ object Bench {
     // agg_mad) needed a TimeKey rerun to adjudicate. With the raw
     // attempts in the artifact, try1/median is readable from the
     // record itself (tools/bench_band.py folds it as cold_ratio).
+    // A CRASHED attempt ships as its NEGATED time (r15 review: raw
+    // times made a fast-failing exception look like a fast draw, and
+    // the poisoned median then produced a <1 cold_ratio); Locale.ROOT
+    // because the f interpolator is locale-sensitive and a comma
+    // decimal point would silently corrupt the array.
     val ts = results.map { case (k, (_, tries)) =>
-      s"\"" + k + "\":" + tries.map(t => f"$t%.4f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + tries.map { case (t, n) =>
+        String.format(java.util.Locale.ROOT, "%.4f",
+          Double.box(if (n < 0) -t else t))
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =

@@ -40,7 +40,11 @@ object TimeKey {
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"[timekey] $key run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!pinsBefore.contains(id)) rdd.unpersist(blocking = true)
+        // try/catch like Bench's sweep: one failed block release must
+        // not abort the remaining timed runs (r15 review)
+        if (!pinsBefore.contains(id))
+          try rdd.unpersist(blocking = true)
+          catch { case _: Throwable => }
       }
       System.gc()
     }

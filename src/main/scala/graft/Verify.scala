@@ -38,10 +38,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // Targeted end-of-key pin sweep, mirroring Bench (r15 review):
+        // the percentile keys' internal localCheckpoint pins would
+        // otherwise stay resident for the remaining ~170 keys of the
+        // run — the exact block-pressure accumulation DESIGN §15.6
+        // diagnosed on the bench route, re-created on the driver's
+        // correctness route.
+        val pinsBefore = spark.sparkContext.getPersistentRDDs.keySet
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!pinsBefore.contains(id))
+            try rdd.unpersist(blocking = true)
+            catch { case _: Throwable => }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

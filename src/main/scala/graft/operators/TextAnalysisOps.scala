@@ -393,22 +393,28 @@ object TextAnalysisOps {
     oRound6(s"0.5 * ($alphaSql) + 0.5 * (1.0 - ($stopSql))")
 
   val oracle: Map[String, String] = Map(
-    // ShingleHash64 parity (r15): bs = UTF-8 bytes from hex pairs;
+    // ShingleHash64 parity (r15): bs = UTF-8 bytes from hex pairs
+    // (hex(encode(text)) hoisted into its own CTE — DuckDB does not
+    // hoist the loop-invariant call out of the lambda, measured 2.2×);
     // fp_full = polynomial mod 2^64 via HUGEINT powers (recursive CTE
     // sized by the longest doc); fp_min8 = exact BIGINT min over 8-byte
     // windows (255 * sum(31^0..31^7) < 2^43 — no wrap); n <= 8 falls
     // back to the full hash exactly like the k >= n branch in Scala.
+    // NULL text → NULL,NULL like the null-safe Expression (the n IS
+    // NULL guard; without it the coalesce-for-empty-string turned a
+    // NULL doc into fp_full = 0 while fp_min8 stayed NULL).
     "text_fingerprint" ->
-      ("WITH b AS (SELECT doc_id, " +
-        "list_transform(range(octet_length(encode(text))), i -> " +
-        "((strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+1, 1)) - 1) * 16 + " +
-        "strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i+2, 1)) - 1)::BIGINT) AS bs, " +
+      ("WITH b0 AS (SELECT doc_id, hex(encode(text)) AS hx, " +
         "octet_length(encode(text)) AS n FROM documents), " +
+        "b AS (SELECT doc_id, n, list_transform(range(n), i -> " +
+        "((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16 + " +
+        "strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)::BIGINT) AS bs " +
+        "FROM b0), " +
         "pw AS (SELECT list(p ORDER BY i) AS ps FROM (" +
         "WITH RECURSIVE r(i, p) AS (SELECT 0, 1::HUGEINT UNION ALL " +
         "SELECT i+1, (p * 31) % 18446744073709551616::HUGEINT FROM r " +
         "WHERE i < (SELECT max(n) FROM b)) SELECT i, p FROM r)), " +
-        "h AS (SELECT doc_id, " +
+        "h AS (SELECT doc_id, n, " +
         "coalesce(list_sum(list_transform(range(n), i -> bs[i+1] * ps[n-i])), 0) " +
         "% 18446744073709551616::HUGEINT AS m, " +
         "CASE WHEN n <= 8 THEN " +
@@ -417,7 +423,8 @@ object TextAnalysisOps {
         "bs[s+1]*27512614111 + bs[s+2]*887503681 + bs[s+3]*28629151 + " +
         "bs[s+4]*923521 + bs[s+5]*29791 + bs[s+6]*961 + bs[s+7]*31 + bs[s+8])) " +
         "END AS mn FROM b, pw) " +
-        "SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT " +
+        "SELECT doc_id, CAST(CASE WHEN n IS NULL THEN NULL " +
+        "WHEN m >= 9223372036854775808::HUGEINT " +
         "THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp_full, " +
         "CAST(mn AS BIGINT) AS fp_min8 FROM h ORDER BY doc_id"),
     "text_feature_hash" ->

@@ -76,12 +76,21 @@ def main() -> int:
         # cold-cost fold (VERDICT r14 #7): runs that carry per-attempt
         # "tries" expose try1 (the cold draw) vs the key's median —
         # the worst try1/median across runs adjudicates driver-route
-        # cold readings without a TimeKey rerun
+        # cold readings without a TimeKey rerun. Ratio uses the RAW
+        # median, not the display-rounded one (a 0.001-rounded median
+        # skews fast keys' ratios by tens of percent); a run with any
+        # non-positive attempt time is a CRASH record (Bench negates
+        # crashed attempts) and is excluded with a marker instead of
+        # folding a fast-failing exception into the ratio.
+        raw_med = statistics.median(vs)
+        crashed = [t for t in trymap.get(k, []) if any(x <= 0 for x in t)]
         ratios = [
-            t[0] / keys[k]["med"]
+            t[0] / raw_med
             for t in trymap.get(k, [])
-            if len(t) > 0 and keys[k]["med"] > 0
+            if t not in crashed and len(t) > 0 and raw_med > 0
         ]
+        if crashed:
+            keys[k]["crashed_runs"] = len(crashed)
         if ratios:
             keys[k]["cold_ratio"] = round(max(ratios), 2)
     top = sorted(
