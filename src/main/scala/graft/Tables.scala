@@ -134,14 +134,28 @@ object Tables {
     * engine to a RELIABLE `checkpoint()` into that directory, the
     * fault-tolerant form a 1000-executor run wants; one config flip, no
     * code change. */
-  def pin(df: DataFrame): DataFrame = {
+  def pin(df: DataFrame): DataFrame = pin(df, eager = false)
+
+  /** [[pin]] with an explicit materialization mode. `eager = true`
+    * computes the pinned frame NOW, as its own job, instead of lazily
+    * inside whatever action first touches it. Use it when the pinned
+    * frame feeds ≥2 BROADCAST subtrees of one query: Spark builds
+    * broadcast relations on a thread pool, so several broadcast-build
+    * jobs can start while the pin's blocks are still uncomputed and
+    * each races to compute the same partitions (getOrCompute dedups
+    * storage, not work — r15, measured on agg_mad: 5.5 s one-shot vs
+    * 2.5 s staged for identical stages). Eager materialization is a
+    * scheduling barrier, so keep lazy pins in iterative chains whose
+    * rounds are tiny (DESIGN §14.1: barriers cost more than the work
+    * they dedup when each round is a sub-100 ms stage). */
+  def pin(df: DataFrame, eager: Boolean): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) if dir.nonEmpty =>
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = false)
-      case _ => df.localCheckpoint(eager = false)
+        df.checkpoint(eager = eager)
+      case _ => df.localCheckpoint(eager = eager)
     }
   }
 

@@ -15,7 +15,16 @@ import graft.Tables._
   * count, 6) — exact numerator, deterministic IEEE division.
   */
 object AggOps {
+  import org.apache.spark.sql.expressions.Window
+
   private val PrefixInternalCols = Set("bk", "lprev", "off", "cprev")
+
+  /** Bucket width of [[countPercentiles]]' rank pruning (v div 2¹⁶) —
+    * the same width [[exclusivePrefix]] defaults to: sized so the
+    * (group, bucket) total table stays dimension-bounded on the cents
+    * domains the callers use; a caller over a much wider value domain
+    * would widen it (or recurse once more). */
+  private val SelBucket = 65536L
 
   /** THE two-level bucketed prefix sum (r13 — ONE implementation,
     * shared by [[countPercentiles]] and `agg_gini`, which had drifted
@@ -76,13 +85,21 @@ object AggOps {
     * buffering contract (r12 — the last single-reducer shape in the
     * agg family, removed the same way agg_gini's rank was): rows
     * hash-collapse to (group, value, cnt) tie blocks (the only
-    * row-scaled shuffle, map-side combinable); the EXCLUSIVE running
-    * count per block comes from the etl_shard_assign two-level
-    * bucketed prefix sum (a (group, bucket)-keyed window in parallel
-    * across buckets + a bucket-count-sized offset table — only that
-    * dimension-sized table ever sorts per group); each requested rank
-    * then SELECTS its boundary block with a range predicate and one
-    * hash agg finishes. Interpolation happens in the CALLER's domain:
+    * row-scaled shuffle, map-side combinable); rank lookup is then
+    * BUCKET-PRUNED selection (r15 — replaces the r12–r14 full
+    * two-level prefix sum, which computed an exclusive running count
+    * for EVERY block: a row-scaled (group, bucket)-keyed window sort
+    * plus an offset broadcast re-attached to every block, the two most
+    * expensive stages of the r14 plan, paid to answer what is only a
+    * per-rank point query): bucket totals collapse the blocks to a
+    * (group, v div 2¹⁶) table (map-side combinable, the only other
+    * row-scaled pass); a bucket-count-sized running sum per group
+    * locates, for each requested rank, THE one bucket containing it;
+    * and only that bucket's blocks (value-domain-bounded, corpus-
+    * independent) are ordered — a tiny window — to select the boundary
+    * block. No task ever orders a group's full value set, and no
+    * row-scaled window or broadcast-to-all-blocks attach exists at
+    * all. Interpolation happens in the CALLER's domain:
     * boundary values first rescale as fl(v/scale) — one correctly-
     * rounded division, bit-identical to the double the oracle's
     * quantile_cont sees — and then the shared (1-f)·lo + f·hi
@@ -99,20 +116,18 @@ object AggOps {
     *
     * Pre-counted input (r13, VERDICT r12 #1): with `preCounted =
     * true` the input must carry a `cnt` column and each row is a
-    * PRE-AGGREGATED tie block weighing `cnt` occurrences of `v` — the
-    * internal collapse becomes sum(cnt) over the value domain instead
-    * of a row-scaled count, so a caller that already holds (or
-    * derives a second pass from) a tie-collapsed table never
-    * re-crosses a row-scaled exchange. An EXPLICIT parameter, not a
-    * cnt-column sniff (r13 review: an unrelated column that happens
-    * to be named cnt must never silently switch the semantics).
-    * A NULL-v block's cnt still feeds `n` (count(*) parity as above).
-    * `collapsed = true` additionally asserts the input is ALREADY
-    * unique on (grp, v), skipping the internal re-collapse exchange
-    * entirely — correct only by the caller's guarantee (a groupBy on
-    * exactly (grp, v) upstream); pass it when the pre-counted table
-    * is the collapse, not merely derived from one (a derived value
-    * like |v − c| can collide two blocks and NEEDS the re-collapse).
+    * PRE-AGGREGATED tie block weighing `cnt` occurrences of `v`. An
+    * EXPLICIT parameter, not a cnt-column sniff (r13 review: an
+    * unrelated column that happens to be named cnt must never
+    * silently switch the semantics). A NULL-v block's cnt still feeds
+    * `n` (count(*) parity as above). Since r15's bucket-pruned
+    * selection, pre-counted input is consumed as-is and needs NO
+    * (grp, v) uniqueness — duplicate blocks of one value sum into the
+    * same bucket total and the boundary window's crossing row yields
+    * the same v whichever duplicate crosses — so the r13/r14 internal
+    * re-collapse (a second row-scaled exchange + pin per pass) no
+    * longer exists and `collapsed` is accepted for API compatibility
+    * only (both settings take the same plan).
     *
     * Boundary-equality note (ADVICE r12): the finish ALWAYS computes
     * (1−f)·lo + f·hi, even when vlo == vhi, because DuckDB's
@@ -136,16 +151,18 @@ object AggOps {
           "is false — pass preCounted = true or drop/rename the column")
     require(scale > 0 && !scale.isInfinite,
       s"countPercentiles: scale must be a positive finite double, got $scale")
-    // Reserved-name guard (ADVICE r13): grp is threaded through
-    // exclusivePrefix's internal withColumns and this method's own
+    // Reserved-name guard (ADVICE r13): grp is threaded through the
+    // internal bucket/selection frames and this method's own
     // n/nr/vmax attachments — a collision silently overwrites it.
     // Lower-cased like exclusivePrefix's guard (r14 review: column
     // resolution is case-insensitive by default).
     require(!PrefixInternalCols(grp.toLowerCase(java.util.Locale.ROOT)) &&
-      !Set("v", "cnt", "n", "nr", "vmax")(
+      !Set("v", "cnt", "n", "nr", "vmax",
+        "btot", "boff", "pa", "wh", "f", "r", "rr", "pos")(
         grp.toLowerCase(java.util.Locale.ROOT)),
       s"countPercentiles: grp column '$grp' collides with a reserved " +
-        "column name (bk, lprev, off, cprev, v, cnt, n, nr, vmax)")
+        "column name (bk, lprev, off, cprev, v, cnt, n, nr, vmax, " +
+        "btot, boff, pa, wh, f, r, rr, pos)")
     val aliases = ps.map(_._1)
     require(aliases.distinct == aliases &&
       aliases.forall(a => a != grp && a != "n" && a != "vmax"),
@@ -160,43 +177,93 @@ object AggOps {
           coalesce(col("cnt").cast("string"), lit("NULL"))))
           .cast("long"))
       .otherwise(col("cnt"))
-    // The collapsed tie-block table fans out to THREE consumers below
-    // (ntab, and exclusivePrefix's offset table + window chain), whose
-    // exchange subtrees differ (the NULL-v filter pushes below one
-    // aggregate but not the other), so ReuseExchange cannot dedupe
-    // them — unpinned, the row-scaled collapse re-executed once per
-    // consumer (r15 MadStageProbe: agg_mad's deviation pass read
-    // 1.9 s steady vs 0.12 s for the same work over a pinned input).
-    // Pin the collapse: the value-domain-sized block table writes
-    // once and every consumer reads blocks; at open scale this trades
-    // two extra row-scaled shuffles for one dimension-sized
-    // checkpoint write. collapsed = true inputs are the caller's own
-    // (already pinned or cheap) table — left untouched.
+    // The tie-block collapse fans out to every consumer below (ntab,
+    // bucket totals, boundary detail), whose exchange subtrees differ
+    // (the NULL-v filter pushes below one aggregate but not the
+    // other), so ReuseExchange cannot dedupe them — unpinned, the
+    // row-scaled collapse re-executed once per consumer (r15
+    // MadStageProbe: agg_mad's deviation pass read 1.9 s steady vs
+    // 0.12 s for the same work over a pinned input). Pin the collapse:
+    // the value-domain-sized block table writes once and every
+    // consumer reads blocks. EAGER (r15): two of the consumers are
+    // BROADCAST subtrees, whose build jobs run concurrently on the
+    // broadcast thread pool — with a lazy pin they start while the
+    // collapse blocks are still uncomputed and each re-executes the
+    // row-scaled collapse (getOrCompute dedups storage, not in-flight
+    // work). Materializing the collapse first costs one scheduling
+    // barrier and removes the duplicated pass.
+    // preCounted inputs are consumed AS-IS, duplicates included (r15):
+    // unlike the retired prefix-sum design, nothing below requires
+    // (grp, v) uniqueness — bucket totals are sums, and the boundary
+    // window's crossing row selects the same v whichever of two
+    // equal-valued blocks crosses — so the former internal re-collapse
+    // (a second row-scaled shuffle + pin per pass; agg_mad's deviation
+    // pass paid it on every run) is gone. The caller's own frame
+    // (pinned or cheap) is scanned map-side by each consumer instead.
     val cnts =
-      if (preCounted)
-        if (collapsed) vals0.select(col(grp), col("v"), cntOk.as("cnt"))
-        else pin(vals0.groupBy(col(grp), col("v")).agg(sum(cntOk).as("cnt")))
+      if (preCounted) vals0.select(col(grp), col("v"), cntOk.as("cnt"))
       else
-        pin(vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt")))
+        pin(vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt")),
+          eager = true)
+    // vmax rides the same pass as n/nr (max ignores NULL v) instead of
+    // a second all-blocks aggregate.
     val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
       coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
-        .as("nr"))
-    val cum = exclusivePrefix(cnts.where(col("v").isNotNull), grp)
-      .join(broadcast(ntab.select(col(grp), col("nr"))), Seq(grp))
-    val withPos = ps.foldLeft(cum) { case (df, (a, p)) =>
-      df.withColumn(s"pos_$a", lit(p) * (col("nr") - 1).cast("double"))
-        .withColumn(s"rlo_$a", floor(col(s"pos_$a")) + 1)
-        .withColumn(s"rhi_$a", ceil(col(s"pos_$a")) + 1)
-    }
+        .as("nr"),
+      max(col("v")).as("vmax"))
+    val nn = cnts.where(col("v").isNotNull)
+      .withColumn("bk", expr(s"v div $SelBucket"))
+    // Bucket totals: the only other row-scaled pass, a map-side
+    // combinable hash agg to a (group, bucket) table whose size is
+    // value-domain-, not corpus-, bounded.
+    val btot = nn.groupBy(col(grp), col("bk"))
+      .agg(sum(col("cnt")).as("btot"))
+    val wOff = Window.partitionBy(grp).orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = btot
+      .withColumn("boff", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+    // One request row per (group, percentile, lo|hi boundary): the
+    // rank in percentile()'s 1-based order and the interpolation
+    // fraction, derived from the non-null count. A group whose values
+    // are all NULL gets nr = 0, so no bucket can contain its ranks and
+    // the group simply never reaches `hits` — the final left join
+    // emits its NULL percentiles.
+    val reqs = ntab
+      .select(col(grp), col("nr"), explode(array(ps.map { case (a, p) =>
+        struct(lit(a).as("pa"), lit(p).as("pp")) }: _*)).as("q"))
+      .select(col(grp), col("q.pa").as("pa"),
+        (col("q.pp") * (col("nr") - 1).cast("double")).as("pos"))
+      .select(col(grp), col("pa"),
+        (col("pos") - floor(col("pos")).cast("double")).as("f"),
+        explode(array(
+          struct(lit("lo").as("wh"),
+            (floor(col("pos")) + 1).cast("long").as("r")),
+          struct(lit("hi").as("wh"),
+            (ceil(col("pos")) + 1).cast("long").as("r")))).as("w"))
+      .select(col(grp), col("pa"), col("f"),
+        col("w.wh").as("wh"), col("w.r").as("r"))
+    // Each rank lands in exactly one bucket: the one whose exclusive
+    // running total is the last below it. Both frames here are
+    // dimension-sized.
+    val sel = reqs.join(bcum, Seq(grp))
+      .where(col("boff") < col("r") && col("r") <= col("boff") + col("btot"))
+      .select(col(grp), col("pa"), col("wh"), col("f"), col("bk"),
+        (col("r") - col("boff")).as("rr"))
+    // Boundary detail: only the selected buckets' blocks are ordered —
+    // a window over ≤ bucket-width values per request, never the
+    // group's full value set.
+    val wLoc = Window.partitionBy(grp, "pa", "wh").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hits = nn.join(broadcast(sel), Seq(grp, "bk"))
+      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .where(col("lprev") < col("rr") &&
+        col("rr") <= col("lprev") + col("cnt"))
     val aggs = ps.flatMap { case (a, _) => Seq(
-      max(when(col("cprev") < col(s"rlo_$a") &&
-        col(s"rlo_$a") <= col("cprev") + col("cnt"), col("v")))
+      max(when(col("pa") === a && col("wh") === "lo", col("v")))
         .as(s"vlo_$a"),
-      max(when(col("cprev") < col(s"rhi_$a") &&
-        col(s"rhi_$a") <= col("cprev") + col("cnt"), col("v")))
+      max(when(col("pa") === a && col("wh") === "hi", col("v")))
         .as(s"vhi_$a"),
-      max(col(s"pos_$a") - floor(col(s"pos_$a")).cast("double"))
-        .as(s"f_$a"))
+      max(when(col("pa") === a, col("f"))).as(s"f_$a"))
     }
     val fins = ps.map { case (a, _) =>
       ((lit(1.0) - col(s"f_$a")) *
@@ -204,12 +271,11 @@ object AggOps {
         col(s"f_$a") * (col(s"vhi_$a").cast("double") / lit(scale)))
         .as(a)
     }
-    val core = withPos.groupBy(col(grp))
-      .agg(max(col("v")).as("vmax"), aggs: _*)
+    val core = hits.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
     // LEFT from the all-groups count table: a group whose values are
     // all NULL keeps its row (NULL percentiles), matching
     // count(*) + quantile_cont semantics.
-    ntab.select(col(grp), col("n"))
+    ntab.select(col(grp), col("n"), col("vmax"))
       .join(broadcast(core), Seq(grp), "left")
       .select(col(grp) +: col("n") +: col("vmax") +: fins: _*)
   }
@@ -582,20 +648,31 @@ object AggOps {
         // Both percentile passes consume the SAME pinned tie-collapsed
         // (group, value, cnt) table — dev2 = |2·xc − 2·med| depends
         // only on xc, so pass 2's blocks derive from pass 1's with the
-        // counts carried over (countPercentiles re-collapses symmetric
-        // deviations value-domain-side via sum(cnt)). Pinning the
-        // collapsed table is what makes the fusion real: unpinned, the
-        // dev2 subtree would re-execute the row-scaled collapse.
+        // counts carried over (two xc blocks symmetric around the
+        // median map to ONE dev2 value; since r15's bucket-pruned
+        // selection countPercentiles consumes such duplicate blocks
+        // as-is — their bucket totals sum and the boundary window's
+        // crossing row yields the same v either way — so no re-collapse
+        // exchange exists anywhere in pass 2). Pinning the collapsed
+        // table is what makes the fusion real: unpinned, the dev2
+        // subtree would re-execute the row-scaled collapse.
+        // eager (r15): blocks feeds pass 1's THREE consumers, two of
+        // them broadcast-build jobs that run concurrently — a lazy pin
+        // lets those jobs race to re-execute the row-scaled collapse
+        // before any block lands (see countPercentiles' internal-pin
+        // note); materializing it first is the staged-floor schedule
         val blocks = pin(base
           .groupBy(col("l_returnflag"), col("xc"))
-          .agg(count(lit(1)).as("cnt")))
+          .agg(count(lit(1)).as("cnt")), eager = true)
         // pinned: the group-count-sized median dim feeds BOTH the
-        // deviation pass and the final attach
+        // deviation pass and the final attach (both broadcasts — same
+        // race, and eager here also forces pass 1 to finish before
+        // pass 2's jobs start instead of interleaving on the pool)
         val med = pin(countPercentiles(
           blocks.select(col("l_returnflag"), col("xc").as("v"),
             col("cnt")),
           "l_returnflag", Seq(("med", 0.5)),
-          preCounted = true, collapsed = true))
+          preCounted = true, collapsed = true), eager = true)
         val dev2 = blocks
           .join(broadcast(med.select(col("l_returnflag"), col("med"))),
             "l_returnflag")

@@ -103,16 +103,19 @@ object GraftOps {
     * single-reducer value buffering (r12/r13): the `percentile()` /
     * `quantile_cont` order statistic computed count-based — rows
     * hash-collapse to (group, value, cnt) tie blocks, ranks resolve
-    * through a two-level bucketed prefix sum, boundary values rescale
-    * as fl(v/scale) BEFORE interpolating. Input: `grp` column + a
-    * non-negative BIGINT `v` column; `ps` = (output alias, fraction).
-    * Output per group: `n` (count(*) over ALL rows — NULLs included;
-    * ranks ignore NULLs like percentile()), `vmax`, one DOUBLE per
-    * requested fraction. `preCounted = true` reads an existing `cnt`
-    * column as tie-block weights (multi-pass callers scan their
-    * corpus once); `collapsed = true` (requires preCounted) skips the
-    * internal re-collapse when the caller guarantees (grp, v)
-    * uniqueness. Byte-parity notes in [[AggOps.countPercentiles]]. */
+    * through bucket-pruned selection (r15 — bucket totals locate each
+    * rank's one boundary bucket; only that bucket's blocks are ever
+    * ordered), boundary values rescale as fl(v/scale) BEFORE
+    * interpolating. Input: `grp` column + a non-negative BIGINT `v`
+    * column; `ps` = (output alias, fraction). Output per group: `n`
+    * (count(*) over ALL rows — NULLs included; ranks ignore NULLs
+    * like percentile()), `vmax`, one DOUBLE per requested fraction.
+    * `preCounted = true` reads an existing `cnt` column as tie-block
+    * weights (multi-pass callers scan their corpus once), duplicates
+    * of one (grp, v) allowed; `collapsed` is accepted for API
+    * compatibility (no internal re-collapse exists since r15 — both
+    * settings take the same plan). Byte-parity notes in
+    * [[AggOps.countPercentiles]]. */
   def countPercentiles(vals: DataFrame, grp: String,
       ps: Seq[(String, Double)], scale: Double = 1.0,
       preCounted: Boolean = false, collapsed: Boolean = false)

@@ -566,10 +566,10 @@ object PipelineOps {
       // min/max/sum fold through the per-block folds, sum_q6 = Σ q6·cnt),
       // pinned because the quant and card subtrees both consume it.
       // Only the exact-dup scan stays row-scaled — md5(text) cannot
-      // decompose over quality blocks. NOT collapsed=true for quant:
-      // its group key is the constant 1, so (g, v) is NOT unique
-      // across languages and the internal sum(cnt) re-collapse is
-      // load-bearing.
+      // decompose over quality blocks. quant's group key is the
+      // constant 1, so (g, v) is NOT unique across languages — fine
+      // since r15: countPercentiles' bucket-pruned selection consumes
+      // duplicate pre-counted blocks as-is (bucket totals sum them).
       val card =
         if (percentileSketchOn(s)) {
           val quant = docs.agg(
