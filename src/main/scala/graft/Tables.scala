@@ -47,6 +47,16 @@ object Tables {
     scala.collection.mutable.Map[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Source fan-out (repartition-after-read for the corpus' single-
+    // row-group files — guide §2.5 "input skew: one huge unsplittable
+    // file") was TRIED and REVERTED in r15: every table ships as one
+    // parquet row group, so each query's first stage runs one task,
+    // but a conditional repartition(defaultParallelism) at the
+    // registry measured as a wash on the tokenize-heavy family and a
+    // clear structural LOSS on map-only full-output keys (expr_cast:
+    // the added full-row exchange + sort-before-repartition costs more
+    // than the serial scan it relieves). OPTIMIZATION_r15.md has the
+    // numbers.
     def read() = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -493,8 +493,11 @@ object PipelineOps {
     // CC + the cluster-count-sized keep step (8.9 s vs 8.9 s), not 2×CC.
     "pipe_curation_e2e" -> ((s: SparkSession, d: String) => {
       // checked = true: same convergence guard as dedup_cluster_cc /
-      // dedup_keep_best — never silently emit an unconverged clustering
-      val clusters = TextSimOps.clusterCC(s, d, 6, checked = true)
+      // dedup_keep_best — never silently emit an unconverged clustering.
+      // rounds = 4 matches the dedup family's r15-trimmed budget (see
+      // TextSimOps.CcRounds: covered radius 30 ≫ measured diameter 6–8,
+      // guard raises loudly on under-budget).
+      val clusters = TextSimOps.clusterCC(s, d, 4, checked = true)
       val docs = qualityDocs(s, d)
       val keep = clusters.join(docs, "doc_id")
         .groupBy(col("cluster"))

@@ -753,7 +753,19 @@ object TextSimOps {
     }
   }
 
-  private val CcRounds = 6
+  /** Round budget of the dedup-family CC keys. ccCore's
+    * propagate+jump covers converged radius 2^(r+1)−2, so 4 rounds
+    * cover diameter 30 against a measured near-dup component diameter
+    * of 6–8 across SFs (near-cliques; rounds 2+ additionally run on
+    * the round-1 CONTRACTED quotient, whose diameter is smaller
+    * still). r15: trimmed 6 → 4 — each budgeted-but-converged round
+    * still costs its label-sized stages and their AQE job latency
+    * (~3 jobs/round; dedup_cluster_cc ran 62 jobs for 5.8 s of task
+    * time), and `checked = true` appends a guard propagate that
+    * RAISES on any residual label change, so an under-budget cannot
+    * silently mis-cluster — it fails the run loudly (verified green
+    * at sf0.001/0.01/0.1). */
+  private val CcRounds = 4
 
   /** Class-banded containment candidate pairs (da, db) at τ = tauPct/100
     * — duplicates possible (one row per class-meeting prefix token); see
@@ -916,8 +928,13 @@ object TextSimOps {
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("cnt"))
         .orderBy("h")),
 
+    // pinned pre-sort (r15): the presentation sort's RangePartitioning
+    // bound-sampling plus the range exchange each re-ran the member
+    // expansion (the key's output-sized tail) — the sim_ngram_jaccard /
+    // pipe_delta_dedup trade applied to the symmetric key; the pair set
+    // materializes once and the sort reads blocks.
     "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-      exactWordPairs(s, d, TauPct).orderBy("da", "db")),
+      pin(exactWordPairs(s, d, TauPct)).orderBy("da", "db")),
 
     // INCREMENTAL (delta) near-dedup — the shape a production ingest
     // actually runs: a new batch (delta = doc_id % 10 == 0, the
