@@ -17,68 +17,19 @@ import graft.Tables._
 object AggOps {
   import org.apache.spark.sql.expressions.Window
 
-  private val PrefixInternalCols = Set("bk", "lprev", "off", "cprev")
+  private val PrefixInternalCols = Set("bk", "lprev")
 
-  /** Bucket width of [[countPercentiles]]' rank pruning (v div 2¹⁶) —
-    * the same width [[exclusivePrefix]] defaults to: sized so the
+  /** Bucket width of [[countPercentiles]]' rank pruning and
+    * `agg_gini`'s decomposed rank sum (v div 2¹⁶): sized so the
     * (group, bucket) total table stays dimension-bounded on the cents
     * domains the callers use; a caller over a much wider value domain
-    * would widen it (or recurse once more). */
+    * would widen it (or recurse once more). (The r13 exclusivePrefix
+    * primitive — cprev for EVERY block via a bucket window + offset
+    * broadcast re-attach — was retired in r15: countPercentiles'
+    * rank lookup is bucket-pruned point selection and gini's Σ i·x
+    * decomposes into bucket-local terms, so no caller needs a full
+    * prefix column anymore.) */
   private val SelBucket = 65536L
-
-  /** THE two-level bucketed prefix sum (r13 — ONE implementation,
-    * shared by [[countPercentiles]] and `agg_gini`, which had drifted
-    * into two identical inline copies): for a (grp, v BIGINT ≥ 0,
-    * cnt) tie-block table UNIQUE on (grp, v) with non-null v, append
-    * `cprev` = the exclusive running count of all values below v in
-    * the group. A (grp, bucket)-keyed window computes the
-    * within-bucket prefix in parallel across buckets (bk = v div
-    * 2¹⁶); bucket totals collapse to a bucket-count-sized offset
-    * table whose per-group window is the ONLY group-partitioned sort;
-    * the broadcast offsets re-attach map-side. No task ever orders a
-    * group's full value set. Intermediate columns bk/lprev/off remain
-    * on the output (callers project what they need). `bucket` sizes
-    * the bk domain (r13 review: the sibling prefix sums —
-    * etl_shard_assign, pipe_pack_sequences — already expose this; a
-    * caller over a wider value domain must widen the bucket so the
-    * offset table stays dimension-sized, or recurse once more). */
-  private[graft] def exclusivePrefix(cnts: org.apache.spark.sql.DataFrame,
-      grp: String, bucket: Long = 65536L)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(bucket > 0, s"bucket width must be positive, got $bucket")
-    // Reserved-name guard (ADVICE r13): the internal withColumns would
-    // silently OVERWRITE a grp/input column named bk/lprev/off/cprev —
-    // partitioning ranks by bucket id instead of the caller's group,
-    // wrong results with no error. Reject loudly instead, matching the
-    // alias-collision guard countPercentiles already carries.
-    // Lower-cased comparison (r14 review): withColumn resolves
-    // case-INsensitively under the default spark.sql.caseSensitive=
-    // false, so "BK"/"Off" collide exactly like "bk"/"off".
-    val gl = grp.toLowerCase(java.util.Locale.ROOT)
-    require(!PrefixInternalCols(gl) && gl != "v" && gl != "cnt",
-      s"exclusivePrefix: grp column '$grp' collides with a reserved " +
-        "column name (bk, lprev, off, cprev, v, cnt)")
-    val clash = cnts.columns
-      .filter(c => PrefixInternalCols(c.toLowerCase(java.util.Locale.ROOT)))
-    require(clash.isEmpty,
-      "exclusivePrefix: input carries reserved internal column(s) " +
-        s"${clash.mkString(", ")} — bk/lprev/off/cprev would be " +
-        "silently overwritten; rename them")
-    val vals = cnts.withColumn("bk", expr(s"v div $bucket"))
-    val wLoc = Window.partitionBy(grp, "bk").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.partitionBy(grp).orderBy("bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = vals.groupBy(col(grp), col("bk"))
-      .agg(sum(col("cnt")).as("btot"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-      .select(col(grp), col("bk"), col("off"))
-    vals
-      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
-      .join(broadcast(offs), Seq(grp, "bk"))
-      .withColumn("cprev", col("off") + col("lprev"))
-  }
 
   /** Exact linear-interpolation percentiles over a NON-NEGATIVE
     * integer-domain value column WITHOUT percentile()'s one-reducer
@@ -161,7 +112,7 @@ object AggOps {
         "btot", "boff", "pa", "wh", "f", "r", "rr", "pos")(
         grp.toLowerCase(java.util.Locale.ROOT)),
       s"countPercentiles: grp column '$grp' collides with a reserved " +
-        "column name (bk, lprev, off, cprev, v, cnt, n, nr, vmax, " +
+        "column name (bk, lprev, v, cnt, n, nr, vmax, " +
         "btot, boff, pa, wh, f, r, rr, pos)")
     val aliases = ps.map(_._1)
     require(aliases.distinct == aliases &&
@@ -708,33 +659,51 @@ object AggOps {
     // make Σ i·x a closed form per DISTINCT value: ranks sprev+1 …
     // sprev+cnt contribute x·(sprev·cnt + cnt·(cnt+1)/2), so the plan
     // is (1) hash-collapse rows to (group, value, cnt) — map-side
-    // combine, the only row-scaled shuffle; (2) sprev via the
-    // etl_shard_assign two-level prefix sum: a (group, bucket)-keyed
-    // window gives the within-bucket running count in parallel, bucket
-    // totals collapse to a bucket-count-sized table (values div 2¹⁶ —
-    // ~160 buckets per group at the cents domain; size the bucket so
-    // this stays dimension-sized at open scale, or recurse once more)
-    // whose per-group offset window is the only group-partitioned sort,
-    // and the broadcast offsets re-attach map-side; (3) one hash agg
-    // finishes (n, Σx, Σ i·x). Exact: all-integer until the one
-    // shared-string double finish; Σ i·x fits BIGINT to ~10⁷ rows per
-    // group at cents ≤ 10⁹; widen to DECIMAL(38,0) beyond. PlanSpec
-    // asserts no row-level group-only window survives.
+    // combine, the only row-scaled shuffle; (2) the within-bucket
+    // running count from a (group, bucket = v div 2¹⁶)-keyed window
+    // (parallel across buckets; ~160 buckets per group at the cents
+    // domain — size the bucket so the bucket table stays
+    // dimension-sized at open scale, or recurse once more); (3) the
+    // bucket-offset term DECOMPOSES (r15): with sprev = boff(bucket) +
+    // lprev, Σ v·(sprev·cnt + cnt(cnt+1)/2) = Σ v·(lprev·cnt +
+    // cnt(cnt+1)/2) + Σ_bucket boff·Σ_bucket(v·cnt) — so the
+    // per-bucket partial sums AGGREGATE FIRST (reusing the window's
+    // (group, bucket) partitioning: no new exchange) and the offsets
+    // multiply into the bucket-count-sized table, instead of the
+    // r13/r14 shape that broadcast the offsets BACK onto every block
+    // and re-aggregated row-scale. That shape also executed the
+    // row-scaled collapse twice — its offset and window branches
+    // fanned out below any exchange Spark could reuse (JobProbe r15:
+    // two identical 4.9 MB collapse-write jobs per run) — while this
+    // one is a single LINEAR chain: collapse → bucket window → bucket
+    // agg → offset window → finish, nothing consumed twice, no pin
+    // needed. Exact: all-integer until the one shared-string double
+    // finish; Σ i·x fits BIGINT to ~10⁷ rows per group at cents
+    // ≤ 10⁹; widen to DECIMAL(38,0) beyond. PlanSpec asserts no
+    // row-level group-only window survives.
     "agg_gini" -> ((s: SparkSession, d: String) => {
       val xc = (dec2(col("l_extendedprice")) * 100).cast("long")
       val cnts = t(s, d, "lineitem")
         .select(col("l_returnflag"), xc.as("v"))
         .groupBy(col("l_returnflag"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-      // sprev (exclusive rank offset) = the shared [[exclusivePrefix]]
-      // cprev — r13: one prefix-sum implementation for the whole
-      // gini/mad/percentile family, not two drifting inline copies
-      exclusivePrefix(cnts, "l_returnflag")
+        .withColumn("bk", expr("v div 65536"))
+      val wLoc = Window.partitionBy("l_returnflag", "bk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.partitionBy("l_returnflag").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cnts
+        .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+        .groupBy(col("l_returnflag"), col("bk"))
+        .agg(sum(col("cnt")).as("btot"),
+          sum(col("v") * col("cnt")).as("sxb"),
+          sum(col("v") * (col("lprev") * col("cnt") +
+            expr("cnt * (cnt + 1) div 2"))).as("lrx"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(wOff), lit(0L)))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("cnt")).as("n"),
-          sum(col("v") * col("cnt")).as("sx"),
-          sum(col("v") * (col("cprev") * col("cnt") +
-            expr("cnt * (cnt + 1) div 2"))).as("srx"))
+        .agg(sum(col("btot")).as("n"),
+          sum(col("sxb")).as("sx"),
+          sum(col("lrx") + col("boff") * col("sxb")).as("srx"))
         .select(col("l_returnflag"), col("n"),
           round6(expr(giniSql)).as("gini"))
         .orderBy("l_returnflag")

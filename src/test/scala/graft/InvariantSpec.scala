@@ -316,58 +316,68 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
-  test("exclusivePrefix is invariant to the bucket width (r13 — the " +
-    "same contract shardAssign's prefix sum carries)") {
-    // The two-level prefix sum must produce identical exclusive ranks
-    // at ANY bucket split: degenerate one-value-per-bucket (bucket=1),
-    // mid splits, and the single-bucket extreme where the local
-    // window does all the work. Seeded random tie-heavy data.
+  test("agg_gini's bucket-decomposed rank sum equals the direct " +
+    "per-block formula on tie-heavy random data (r15)") {
+    // The r15 linear-chain gini computes Σ v·(sprev·cnt+cnt(cnt+1)/2)
+    // as Σ v·(lprev·cnt+cnt(cnt+1)/2) + Σ_bucket boff·Σ_bucket(v·cnt).
+    // Check the decomposition against the direct formula computed from
+    // a brute-force exclusive prefix, over seeded tie-heavy data.
     val ss = spark
     import ss.implicits._
     val rnd = new scala.util.Random(7)
     val rows = (1 to 400).map { _ =>
       (s"g${rnd.nextInt(3)}", rnd.nextInt(200000).toLong) }
-    val cnts = rows.toDF("g", "v")
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-    val want = graft.operators.AggOps.exclusivePrefix(cnts, "g")
-      .select(col("g"), col("v"), col("cnt"), col("cprev"))
-      .orderBy("g", "v").collect().map(_.toString).toSeq
-    for (b <- Seq(1L, 7L, 1024L, 1000000000L)) {
-      val got = graft.operators.AggOps.exclusivePrefix(cnts, "g", b)
-        .select(col("g"), col("v"), col("cnt"), col("cprev"))
-        .orderBy("g", "v").collect().map(_.toString).toSeq
-      assert(got == want, s"bucket=$b drifts from the default split")
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val byV = rs.groupBy(_._2).map { case (v, vs) =>
+        (v, vs.size.toLong) }.toSeq.sortBy(_._1)
+      var sprev = 0L
+      var srx = 0L
+      byV.foreach { case (v, cnt) =>
+        srx += v * (sprev * cnt + cnt * (cnt + 1) / 2)
+        sprev += cnt
+      }
+      g -> srx
     }
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "bk").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val got = rows.toDF("g", "v")
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bk", expr("v div 65536"))
+      .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .groupBy(col("g"), col("bk"))
+      .agg(sum(col("cnt")).as("btot"),
+        sum(col("v") * col("cnt")).as("sxb"),
+        sum(col("v") * (col("lprev") * col("cnt") +
+          expr("cnt * (cnt + 1) div 2"))).as("lrx"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("lrx") + col("boff") * col("sxb")).as("srx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"decomposition drifts:\n got  $got\n want $want")
   }
 
   test("reserved-name guards reject collisions case-insensitively " +
     "(ADVICE r13 + r14 review)") {
     // withColumn resolves case-INsensitively under the default
-    // spark.sql.caseSensitive=false, so a grp/input column named BK
-    // or Off is exactly as silently-overwritten as bk/off — the guard
-    // must catch both spellings, and the percentiles guard must also
-    // cover its own n/nr/vmax attachments.
+    // spark.sql.caseSensitive=false, so a grp column named BK or Pos
+    // is exactly as silently-overwritten as bk/pos — the guard must
+    // catch both spellings, including the n/nr/vmax attachments and
+    // the r15 selection internals (btot/boff/pa/wh/f/r/rr).
     val ss = spark
     import ss.implicits._
-    val cnts = Seq(("a", 1L, 2L)).toDF("g", "v", "cnt")
-    for (bad <- Seq("bk", "BK", "off", "Off", "cprev", "v", "CNT")) {
+    for (bad <- Seq("bk", "BK", "lprev", "v", "CNT", "NR", "vmax", "N",
+      "btot", "Boff", "pa", "WH", "f", "r", "rr", "pos")) {
       val e = intercept[IllegalArgumentException] {
-        graft.operators.AggOps.exclusivePrefix(
-          cnts.withColumnRenamed("g", bad), bad)
-      }
-      assert(e.getMessage.contains("reserved"), s"grp=$bad: $e")
-    }
-    val e2 = intercept[IllegalArgumentException] {
-      graft.operators.AggOps.exclusivePrefix(
-        Seq(("a", 1L, 2L, 0L)).toDF("g", "v", "cnt", "LPREV"), "g")
-    }
-    assert(e2.getMessage.contains("reserved"), e2.getMessage)
-    for (bad <- Seq("NR", "vmax", "N")) {
-      val e3 = intercept[IllegalArgumentException] {
         graft.operators.AggOps.countPercentiles(
           Seq((1L, 1L)).toDF(bad, "v"), bad, Seq(("p50", 0.5)))
       }
-      assert(e3.getMessage.contains("reserved"), s"grp=$bad: $e3")
+      assert(e.getMessage.contains("reserved"), s"grp=$bad: $e")
     }
   }
 
