@@ -38,10 +38,18 @@ object GraphOps {
   private val KcoreRounds = 6 // peel budget; measured convergence ≤ 3
 
   private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
+    // pinned (r15): edges feeds FOUR subtree references (the degree
+    // agg, the join's probe side, and both node-set branches) whose
+    // exchange subtrees differ, so nothing above the distinct was
+    // reused — JobProbe caught the row-scaled lineitem distinct
+    // executing twice per run (two identical 4.9 MB shuffle writes)
+    // under the withDeg and nodes pins. One pin, every consumer reads
+    // blocks — the ccCore edge-list discipline applied here.
     val edges = t(s, d, "lineitem")
       .select(col("l_suppkey").as("u"),
         (col("l_partkey") + PartOffset).as("v"))
       .distinct()
+      .pinned
     val withDeg = edges
       .join(edges.groupBy(col("u")).agg(count(lit(1)).as("deg")), "u")
       .pinned
@@ -84,6 +92,11 @@ object GraphOps {
     // as full relaxation; the oracle keeps the relaxation form (DuckDB
     // computes either instantly at oracle scale).
     "graph_bfs_hops" -> ((s: SparkSession, d: String) => {
+      // union-of-two-selects is safe HERE (r15 audit): both branches
+      // are bare projections of the SAME distinct exchange, so
+      // exchange reuse dedups the row-scaled subtree (JobProbe: one
+      // distinct write, read twice) — unlike pagerank's four
+      // differing consumers, which needed the pin
       val e = t(s, d, "lineitem")
         .select(col("l_suppkey").as("u"),
           (col("l_partkey") + PartOffset).as("v"))

@@ -652,10 +652,22 @@ object TextSimOps {
     // (measured r9: 14 hash exchanges → 6 in the physical plan)
     def sides(keyed: DataFrame, payload: Seq[String])
         : (DataFrame, DataFrame) = {
+      // EXPLICIT width on the band-key exchange (r15): the band join
+      // is an EXPLODING join — 20 k signature rows in, 3.9 M verified
+      // pairs out at sf0.1 — and AQE sizes post-shuffle stages by
+      // INPUT bytes, so it coalesced the join to ONE task (measured:
+      // a 3.5 s serial stage holding 47% of the key). Repartitioning
+      // the band rows by the join key here is not an extra exchange —
+      // both join sides derive from these rows, the aliases preserve
+      // the partitioning attributes, and EnsureRequirements then
+      // needs NO further exchange — it just pins the width to the
+      // session's parallelism instead of AQE's input-byte guess.
       val rows = keyed.select(col("doc_id") +: payload.map(col) ++:
         (0 until nBands).map(b => col(s"bk$b")) :+
         posexplode(array((0 until nBands).map(b => col(s"bk$b")): _*))
           .as(Seq("band", "bkey")): _*)
+        .repartition(keyed.sparkSession.sparkContext.defaultParallelism,
+          col("band"), col("bkey"))
       val xa = rows.select(col("doc_id").as("da") +:
         payload.map(p => col(p).as(p + "a")) ++:
         Seq(col("band"), col("bkey")) ++:
