@@ -157,11 +157,15 @@ object AggOps {
         pin(vals0.groupBy(col(grp), col("v")).agg(count(lit(1)).as("cnt")),
           eager = true)
     // vmax rides the same pass as n/nr (max ignores NULL v) instead of
-    // a second all-blocks aggregate.
-    val ntab = cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
+    // a second all-blocks aggregate. Pinned (r15): ntab feeds the
+    // request frame AND the final left join; column pruning narrows
+    // the two subtrees differently (reqs keeps only nr), so exchange
+    // reuse cannot dedupe them and the blocks-scan aggregate ran
+    // twice per pass. The pin is group-count-sized.
+    val ntab = pin(cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
       coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
         .as("nr"),
-      max(col("v")).as("vmax"))
+      max(col("v")).as("vmax")))
     val nn = cnts.where(col("v").isNotNull)
       .withColumn("bk", expr(s"v div $SelBucket"))
     // Bucket totals: the only other row-scaled pass, a map-side

@@ -442,12 +442,22 @@ class PlanSpec extends SparkTestBase {
     // produce the identical result through the shuffle fallback —
     // proving the 100 TB degradation path is exercised, not just
     // documented. Both representation paths are held to the contract.
+    // sim_jaccard_pairs is inspected at its PRE-PIN pair frame (r15:
+    // the key pins the pair set before its presentation sort, so the
+    // key-level executed plan is Sort-over-ExistingRDD and the verify
+    // attach — the joins this test audits — happens inside the pin's
+    // materialization, invisible to plan inspection from above).
+    def frame(k: String) =
+      if (k == "sim_jaccard_pairs")
+        graft.operators.TextSimOps.exactWordPairs(spark, sf, 90)
+          .orderBy("da", "db")
+      else SparkEntry.queries(k)(spark, sf)
     for (forceGeneral <- Seq(false, true);
          k <- Seq("sim_jaccard_pairs", "sim_containment_pairs")) {
       if (forceGeneral)
         spark.conf.set("spark.graft.sim.forceGeneral", "true")
       else spark.conf.unset("spark.graft.sim.forceGeneral")
-      val df = SparkEntry.queries(k)(spark, sf)
+      val df = frame(k)
       val rows = df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("BroadcastHashJoin"),
@@ -458,7 +468,7 @@ class PlanSpec extends SparkTestBase {
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        val df2 = SparkEntry.queries(k)(spark, sf)
+        val df2 = frame(k)
         val rows2 = df2.collect()
         val p2 = df2.queryExecution.executedPlan.toString
         assert(!p2.contains("BroadcastHashJoin"),
