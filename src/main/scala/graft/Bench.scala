@@ -138,6 +138,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tries":$ts,"sf":"$sfDir"}"""
     println(line)
+    // Compact driver-grade summary as the FINAL stdout line (VERDICT
+    // r15 #1): the full line above is ~10 KB and the driver's stored
+    // stdout tail is 2000 chars, so two rounds of PERF comparisons ran
+    // dark (prev/now_bench_ok false) because the only parseable JSON
+    // started mid-tail. This short line fits any tail capture even
+    // with sbt's trailing "[success]" noise; the full per-query/tries
+    // record stays in the line above and in the output file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     // stdout capture truncates (r2/r3 each lost ~19 per-key timings to the
     // tail cut) — persist the full line to a file as well.
     // SPARK_GRAFT_ONLY guard (VERDICT r10 #8): a restricted run must

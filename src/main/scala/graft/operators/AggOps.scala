@@ -29,7 +29,7 @@ object AggOps {
     * rank lookup is bucket-pruned point selection and gini's Σ i·x
     * decomposes into bucket-local terms, so no caller needs a full
     * prefix column anymore.) */
-  private val SelBucket = 65536L
+  private[graft] val SelBucket = 65536L
 
   /** Exact linear-interpolation percentiles over a NON-NEGATIVE
     * integer-domain value column WITHOUT percentile()'s one-reducer
@@ -90,7 +90,8 @@ object AggOps {
     * pinned regressions, not a universal theorem. */
   private[graft] def countPercentiles(vals0: org.apache.spark.sql.DataFrame,
       grp: String, ps: Seq[(String, Double)], scale: Double = 1.0,
-      preCounted: Boolean = false, collapsed: Boolean = false)
+      preCounted: Boolean = false, collapsed: Boolean = false,
+      stats: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     require(!collapsed || preCounted,
       "countPercentiles: collapsed = true requires preCounted = true")
@@ -114,6 +115,11 @@ object AggOps {
       s"countPercentiles: grp column '$grp' collides with a reserved " +
         "column name (bk, lprev, v, cnt, n, nr, vmax, " +
         "btot, boff, pa, wh, f, r, rr, pos)")
+    // ADVICE r15: an empty request list used to be well-defined
+    // (returned n/vmax); since the r15 bucket-pruned selection it would
+    // die at aggs.head during plan construction — fail loud and named.
+    require(ps.nonEmpty,
+      "countPercentiles: at least one percentile required")
     val aliases = ps.map(_._1)
     require(aliases.distinct == aliases &&
       aliases.forall(a => a != grp && a != "n" && a != "vmax"),
@@ -162,10 +168,29 @@ object AggOps {
     // the two subtrees differently (reqs keeps only nr), so exchange
     // reuse cannot dedupe them and the blocks-scan aggregate ran
     // twice per pass. The pin is group-count-sized.
-    val ntab = pin(cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
-      coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
-        .as("nr"),
-      max(col("v")).as("vmax")))
+    //
+    // Caller-supplied stats (r16, VERDICT r15 #2): a caller that
+    // ALREADY KNOWS the group stats — agg_mad's deviation pass derives
+    // pass 2's (n, nr, vmax) from pass 1's by dimension-sized
+    // arithmetic — passes them as a (grp, n, nr, vmax) frame and this
+    // pass skips its own blocks-scan aggregate + pin entirely. The
+    // frame is TRUSTED (private[graft] internal contract): n counts
+    // all rows, nr the non-NULL-v rows, vmax = max(v) per group, one
+    // row per group, and it should already be pinned or trivially
+    // cheap (it feeds the request frame and the final left join).
+    stats.foreach { st =>
+      val cols = st.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      require(Set(grp.toLowerCase(java.util.Locale.ROOT), "n", "nr",
+        "vmax").subsetOf(cols),
+        s"countPercentiles: stats frame must carry ($grp, n, nr, vmax), " +
+          s"got ${st.columns.mkString(", ")}")
+    }
+    val ntab = stats.map(_.select(col(grp), col("n"), col("nr"),
+        col("vmax")))
+      .getOrElse(pin(cnts.groupBy(col(grp)).agg(sum(col("cnt")).as("n"),
+        coalesce(sum(when(col("v").isNotNull, col("cnt"))), lit(0L))
+          .as("nr"),
+        max(col("v")).as("vmax"))))
     val nn = cnts.where(col("v").isNotNull)
       .withColumn("bk", expr(s"v div $SelBucket"))
     // Bucket totals: the only other row-scaled pass, a map-side
@@ -691,7 +716,7 @@ object AggOps {
         .select(col("l_returnflag"), xc.as("v"))
         .groupBy(col("l_returnflag"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("bk", expr("v div 65536"))
+        .withColumn("bk", expr(s"v div $SelBucket"))
       val wLoc = Window.partitionBy("l_returnflag", "bk").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wOff = Window.partitionBy("l_returnflag").orderBy("bk")

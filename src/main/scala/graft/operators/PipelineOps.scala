@@ -494,10 +494,12 @@ object PipelineOps {
     "pipe_curation_e2e" -> ((s: SparkSession, d: String) => {
       // checked = true: same convergence guard as dedup_cluster_cc /
       // dedup_keep_best — never silently emit an unconverged clustering.
-      // rounds = 4 matches the dedup family's r15-trimmed budget (see
-      // TextSimOps.CcRounds: covered radius 30 ≫ measured diameter 6–8,
-      // guard raises loudly on under-budget).
-      val clusters = TextSimOps.clusterCC(s, d, 4, checked = true)
+      // TextSimOps.CcRounds IS the dedup family's budget (ADVICE r15:
+      // a literal here would silently fall behind a family-wide budget
+      // change; covered radius 30 ≫ measured diameter 6–8, guard
+      // raises loudly on under-budget).
+      val clusters = TextSimOps.clusterCC(s, d, TextSimOps.CcRounds,
+        checked = true)
       val docs = qualityDocs(s, d)
       val keep = clusters.join(docs, "doc_id")
         .groupBy(col("cluster"))

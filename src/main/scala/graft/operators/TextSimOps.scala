@@ -765,6 +765,13 @@ object TextSimOps {
     }
   }
 
+  /** The sim_jaccard_pairs pair frame BEFORE its presentation pin —
+    * ONE construction shared by the key and PlanSpec's broadcast/
+    * shuffle-fallback audit (ADVICE r15: the test used to hand-copy
+    * the construction with a literal threshold, which could drift). */
+  private[graft] def jaccardPairsPrePin(s: SparkSession,
+      d: String): DataFrame = exactWordPairs(s, d, TauPct)
+
   /** Round budget of the dedup-family CC keys. ccCore's
     * propagate+jump covers converged radius 2^(r+1)−2, so 4 rounds
     * cover diameter 30 against a measured near-dup component diameter
@@ -777,7 +784,7 @@ object TextSimOps {
     * RAISES on any residual label change, so an under-budget cannot
     * silently mis-cluster — it fails the run loudly (verified green
     * at sf0.001/0.01/0.1). */
-  private val CcRounds = 4
+  private[graft] val CcRounds = 4
 
   /** Class-banded containment candidate pairs (da, db) at τ = tauPct/100
     * — duplicates possible (one row per class-meeting prefix token); see
@@ -946,7 +953,7 @@ object TextSimOps {
     // pipe_delta_dedup trade applied to the symmetric key; the pair set
     // materializes once and the sort reads blocks.
     "sim_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-      pin(exactWordPairs(s, d, TauPct)).orderBy("da", "db")),
+      pin(jaccardPairsPrePin(s, d)).orderBy("da", "db")),
 
     // INCREMENTAL (delta) near-dedup — the shape a production ingest
     // actually runs: a new batch (delta = doc_id % 10 == 0, the

@@ -348,7 +348,8 @@ class InvariantSpec extends SparkTestBase {
         .unboundedPreceding, -1)
     val got = rows.toDF("g", "v")
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("bk", expr("v div 65536"))
+      .withColumn("bk",
+        expr(s"v div ${graft.operators.AggOps.SelBucket}"))
       .withColumn("lprev", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
       .groupBy(col("g"), col("bk"))
       .agg(sum(col("cnt")).as("btot"),

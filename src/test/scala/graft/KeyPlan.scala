@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan of one SparkEntry key.
+/** Dev tool: print the formatted physical plan of one SparkEntry key,
+  * followed by the pre-pin plan of every frame the key's construction
+  * passed to Tables.pin (VERDICT r15 #4/#8: pins make the key-level
+  * dump opaque — the executed plan shows Scan ExistingRDD where the
+  * audited joins happen inside the pin's materialization; the pre-pin
+  * sections keep those shapes auditable).
   * Usage: Test/runMain graft.KeyPlan <key> [sfDir]. */
 object KeyPlan {
   def main(args: Array[String]): Unit = {
@@ -16,7 +21,18 @@ object KeyPlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries(key)(spark, sfDir).explain("formatted")
+    val pins =
+      scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    Tables.pinRecorder.set(pins)
+    val df = try SparkEntry.queries(key)(spark, sfDir)
+    finally Tables.pinRecorder.remove()
+    df.explain("formatted")
+    pins.zipWithIndex.foreach { case (f, i) =>
+      println(s"\n=== pre-pin frame ${i + 1} of ${pins.size} " +
+        s"(in pin-call order; later frames may scan earlier pins " +
+        "as ExistingRDD) ===")
+      f.explain("formatted")
+    }
     spark.stop()
   }
 }

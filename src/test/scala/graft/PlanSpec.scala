@@ -449,7 +449,9 @@ class PlanSpec extends SparkTestBase {
     // materialization, invisible to plan inspection from above).
     def frame(k: String) =
       if (k == "sim_jaccard_pairs")
-        graft.operators.TextSimOps.exactWordPairs(spark, sf, 90)
+        // the SHARED pre-pin builder the key itself pins (ADVICE r15:
+        // a hand-copied construction with a literal threshold drifts)
+        graft.operators.TextSimOps.jaccardPairsPrePin(spark, sf)
           .orderBy("da", "db")
       else SparkEntry.queries(k)(spark, sf)
     for (forceGeneral <- Seq(false, true);
